@@ -1,0 +1,11 @@
+import os
+
+# Tests run on CPU with a virtual 8-device mesh so multi-chip sharding logic
+# is exercised without TPU hardware (the driver separately dry-runs the real
+# multi-chip path). Must be set before jax import.
+os.environ["JAX_PLATFORMS"] = "cpu"  # the image presets JAX_PLATFORMS=axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from envgs_tpu.utils.transforms import quat_to_rotmat, surfel_frame, normalize, reflect, affine_inverse
+from envgs_tpu.utils.camera import make_camera, get_rays
+from envgs_tpu.utils.sh import eval_sh, eval_sh_color, rgb2sh0, sh02rgb, C0
+
+
+def test_quat_to_rotmat_identity():
+    R = quat_to_rotmat(jnp.array([1.0, 0, 0, 0]))
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
+
+
+def test_quat_to_rotmat_orthonormal():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(64, 4)).astype(np.float32)
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (64, 3, 3)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_surfel_frame_cross():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(16, 4)).astype(np.float32)
+    tu, tv, n = surfel_frame(jnp.asarray(q))
+    np.testing.assert_allclose(np.cross(tu, tv), np.asarray(n), atol=1e-5)
+
+
+def test_reflect():
+    d = jnp.array([1.0, -1.0, 0.0])
+    n = jnp.array([0.0, 1.0, 0.0])
+    np.testing.assert_allclose(reflect(d, n), [1.0, 1.0, 0.0], atol=1e-6)
+
+
+def test_affine_inverse():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=4).astype(np.float32)
+    R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = R
+    m[:3, 3] = [1, 2, 3]
+    inv = np.asarray(affine_inverse(jnp.asarray(m)))
+    np.testing.assert_allclose(inv @ m, np.eye(4), atol=1e-5)
+
+
+def _toy_cam(H=64, W=96):
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    T = np.zeros(3, np.float32)
+    return make_camera(H, W, K, R, T, znear=0.01, zfar=100.0)
+
+
+def test_projection_roundtrip():
+    """pix_from_world must agree with plain K-projection for points in front."""
+    cam = _toy_cam()
+    pts = np.array([[0.1, -0.2, 2.0], [0.5, 0.3, 5.0]], np.float32)
+    M = np.asarray(cam.pix_from_world)
+    hom = np.concatenate([pts, np.ones((2, 1), np.float32)], -1)
+    proj = hom @ M.T
+    xy = proj[:, :2] / proj[:, 2:]
+    # K-projection puts pixel centers at (u+0.5); ndc2pix convention uses
+    # integer centers, so K-projection - 0.5 should match.
+    Kp = (pts / pts[:, 2:]) @ np.asarray(cam.K).T
+    np.testing.assert_allclose(xy, Kp[:, :2] - 0.5, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(proj[:, 2], pts[:, 2], rtol=1e-5)
+
+
+def test_rays_hit_projection():
+    """Ray through pixel (i, j) must project back to that pixel."""
+    cam = _toy_cam()
+    o, d = get_rays(cam)
+    pts = np.asarray(o)[None, None] + 3.0 * np.asarray(d)  # depth 3 points
+    M = np.asarray(cam.pix_from_world)
+    hom = np.concatenate([pts, np.ones(pts.shape[:2] + (1,), np.float32)], -1)
+    proj = hom @ M.T
+    xy = proj[..., :2] / proj[..., 2:]
+    jj, ii = np.meshgrid(np.arange(cam.W), np.arange(cam.H))
+    np.testing.assert_allclose(xy[..., 0], jj, atol=1e-3)
+    np.testing.assert_allclose(xy[..., 1], ii, atol=1e-3)
+    np.testing.assert_allclose(proj[..., 2], 3.0, rtol=1e-5)  # z-depth scaling
+
+
+def test_sh_deg0_constant():
+    sh = jnp.zeros((5, 3, 16)).at[:, :, 0].set(1.0)
+    dirs = normalize(jnp.asarray(np.random.default_rng(3).normal(size=(5, 3))))
+    out = eval_sh(3, sh, dirs)
+    np.testing.assert_allclose(out, C0, rtol=1e-6)
+
+
+def test_sh_rgb_roundtrip():
+    rgb = jnp.asarray([[0.2, 0.5, 0.9]])
+    np.testing.assert_allclose(sh02rgb(rgb2sh0(rgb)), rgb, atol=1e-6)
+
+
+def test_sh_higher_degrees_orthogonality():
+    """Integrating SH_l * SH_0 over many random dirs ~ 0 for l > 0."""
+    rng = np.random.default_rng(4)
+    dirs = normalize(jnp.asarray(rng.normal(size=(20000, 3)).astype(np.float32)))
+    for idx in [1, 4, 9, 16]:
+        sh = jnp.zeros((1, 1, 25)).at[0, 0, idx].set(1.0)
+        vals = eval_sh(4, jnp.broadcast_to(sh, (20000, 1, 25)), dirs)
+        assert abs(float(vals.mean())) < 0.02
