@@ -1,0 +1,167 @@
+"""Image losses + quality metrics (pure JAX).
+
+Covers the reference's supervision set (/root/reference/easyvolcap/utils/
+loss_utils.py + metric_utils.py:21-99): l1/l2/charbonnier/huber, SSIM with
+an 11x11 Gaussian window (conv formulation), MS-SSIM, PSNR, plus a gated
+optional LPIPS (torch-free VGG LPIPS is deferred; see `lpips`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def mse(x, y):
+    return l2(x, y)
+
+
+def charbonnier(x, y, eps: float = 1e-3):
+    return jnp.mean(jnp.sqrt((x - y) ** 2 + eps * eps))
+
+
+def huber(x, y, delta: float = 1.0):
+    d = jnp.abs(x - y)
+    return jnp.mean(jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta)))
+
+
+def l1_reg(x):
+    return jnp.mean(jnp.abs(x))
+
+
+def cos_sim(x, y, axis=-1, eps=1e-8):
+    xn = x / jnp.clip(jnp.linalg.norm(x, axis=axis, keepdims=True), eps, None)
+    yn = y / jnp.clip(jnp.linalg.norm(y, axis=axis, keepdims=True), eps, None)
+    return jnp.sum(xn * yn, axis=axis)
+
+
+def psnr(x, y, max_val: float = 1.0):
+    m = jnp.mean((x - y) ** 2)
+    return 10.0 * jnp.log10(max_val * max_val / jnp.clip(m, 1e-10, None))
+
+
+def _gaussian_window(size: int, sigma: float):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def _filter2d_sep(img, win):
+    """Separable 2D filter on (H, W, C), 'valid' padding."""
+    C = img.shape[-1]
+    k = win.shape[0]
+    x = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
+    kh = win.reshape(1, 1, k, 1)
+    kw = win.reshape(1, 1, 1, k)
+    x = jax.lax.conv_general_dilated(x, jnp.broadcast_to(kh, (1, 1, k, 1)),
+                                     (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, jnp.broadcast_to(kw, (1, 1, 1, k)),
+                                     (1, 1), "VALID")
+    return jnp.moveaxis(x[:, 0], 0, -1)
+
+
+def ssim(x, y, win_size: int = 11, sigma: float = 1.5, max_val: float = 1.0):
+    """SSIM on (H, W, C) images (mean over valid region), conv formulation
+    matching the reference's window-11 SSIM (metric_utils.py:28-65)."""
+    win = _gaussian_window(win_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    mu_x = _filter2d_sep(x, win)
+    mu_y = _filter2d_sep(y, win)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sx = _filter2d_sep(x * x, win) - mu_x2
+    sy = _filter2d_sep(y * y, win) - mu_y2
+    sxy = _filter2d_sep(x * y, win) - mu_xy
+    num = (2 * mu_xy + C1) * (2 * sxy + C2)
+    den = (mu_x2 + mu_y2 + C1) * (sx + sy + C2)
+    return jnp.mean(num / den)
+
+
+def msssim(x, y, win_size: int = 11, levels: int = 5):
+    """Multi-scale SSIM with the standard level weights."""
+    weights = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
+    weights = weights / jnp.sum(weights)
+    vals = []
+    for lvl in range(levels):
+        win = _gaussian_window(win_size, 1.5)
+        C2 = 0.03 ** 2
+        mu_x = _filter2d_sep(x, win)
+        mu_y = _filter2d_sep(y, win)
+        sx = _filter2d_sep(x * x, win) - mu_x * mu_x
+        sy = _filter2d_sep(y * y, win) - mu_y * mu_y
+        sxy = _filter2d_sep(x * y, win) - mu_x * mu_y
+        cs = jnp.mean((2 * sxy + C2) / (sx + sy + C2))
+        if lvl == levels - 1:
+            C1 = 0.01 ** 2
+            lum = jnp.mean(
+                (2 * mu_x * mu_y + C1) / (mu_x * mu_x + mu_y * mu_y + C1)
+            )
+            vals.append(jnp.clip(lum * cs, 1e-6, None))
+        else:
+            vals.append(jnp.clip(cs, 1e-6, None))
+            # downsample 2x (average pool)
+            H, W = x.shape[0] // 2 * 2, x.shape[1] // 2 * 2
+            x = x[:H, :W].reshape(H // 2, 2, W // 2, 2, -1).mean((1, 3))
+            y = y[:H, :W].reshape(H // 2, 2, W // 2, 2, -1).mean((1, 3))
+    return jnp.prod(jnp.stack(vals) ** weights)
+
+
+@functools.lru_cache(maxsize=1)
+def _lpips_net():
+    """Lazy LPIPS: uses torchvision VGG16 weights if present on disk.
+
+    The reference evaluates LPIPS(VGG) (metric_utils.py:93). In this
+    zero-egress environment pretrained VGG weights may be unavailable; in
+    that case lpips() returns None and the evaluator reports NaN for the
+    lpips column (documented in metrics.json).
+    """
+    try:
+        import torch
+        import torchvision
+
+        net = torchvision.models.vgg16(weights="IMAGENET1K_V1").features.eval()
+        return net
+    except Exception:
+        return None
+
+
+def lpips(x, y):
+    """LPIPS(VGG) on (H, W, 3) in [0,1]; returns None if weights missing.
+
+    Runs on host CPU via torch (eval-only metric, matching the reference's
+    use of lpips for evaluation and the late-stage perceptual loss).
+    """
+    net = _lpips_net()
+    if net is None:
+        return None
+    import numpy as np
+    import torch
+
+    def prep(a):
+        a = np.asarray(a, np.float32).transpose(2, 0, 1)[None]
+        t = torch.from_numpy(a) * 2 - 1
+        mean = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        std = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        return (t - mean) / std
+
+    # VGG16 feature taps used by LPIPS
+    taps = {3, 8, 15, 22, 29}
+    with torch.no_grad():
+        fx, fy = prep(x), prep(y)
+        dist = 0.0
+        for i, layer in enumerate(net):
+            fx, fy = layer(fx), layer(fy)
+            if i in taps:
+                nx = fx / (fx.norm(dim=1, keepdim=True) + 1e-10)
+                ny = fy / (fy.norm(dim=1, keepdim=True) + 1e-10)
+                dist = dist + ((nx - ny) ** 2).mean()
+    return float(dist)

@@ -1,0 +1,195 @@
+"""Public differentiable rasterizer API.
+
+`rasterize()` mirrors the reference render() wrapper's channel semantics
+(/root/reference/easyvolcap/utils/gaussian2d_utils.py:1003-1155) with three
+backends:
+
+- 'ref': the pure-JAX O(P*HW) scan rasterizer (ground truth, small scenes);
+- 'pallas': binning + fused Pallas tile kernels (production TPU path);
+- 'pallas_interp': same kernels in interpreter mode (CPU tests).
+
+Screen-space position gradients for densification (the reference's
+screenspace_points zero-tensor trick, gaussian2d_utils.py:1017-1020) are
+exposed by the `means2d_zero` argument: a (P, 2) zeros array whose cotangent
+is the exact d(loss)/d(pixel-space splat translation). Internally it shifts
+the splat's screen transform rows: T0 += zx*T2, T1 += zy*T2.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from envgs_tpu.ops import raster_pallas as rp
+from envgs_tpu.ops.binning import bin_splats, tile_dims
+from envgs_tpu.ops.common import PreparedSplats, prepare_splats
+from envgs_tpu.ops.raster_ref import RasterOutput, rasterize_reference
+from envgs_tpu.utils.camera import Camera
+
+
+def _shift_tmat(prep: PreparedSplats, means2d_zero: jnp.ndarray) -> PreparedSplats:
+    """Shift splats on screen by means2d_zero pixels (zero in practice)."""
+    if means2d_zero is None:
+        return prep
+    z = means2d_zero
+    t = prep.tmat
+    row2 = t[:, 2, :]
+    t = t.at[:, 0, :].add(z[:, 0:1] * row2)
+    t = t.at[:, 1, :].add(z[:, 1:2] * row2)
+    c = prep.center_pix + z
+    return prep._replace(tmat=t, center_pix=c)
+
+
+def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-pair packed rows (CAP, DPAD); sentinel index P -> zeros."""
+    P = prep.depth.shape[0]
+    C = prep.color.shape[-1]
+    packed = jnp.concatenate(
+        [
+            prep.tmat.reshape(P, 9),
+            prep.center_pix,
+            prep.opacity[:, None] * prep.valid[:, None],
+            prep.normal,
+            prep.color,
+        ],
+        axis=1,
+    )
+    packed = jnp.pad(packed, ((0, 1), (0, rp.DPAD - packed.shape[1])))
+    return packed[gauss_idx]
+
+
+def rasterize(
+    prep: PreparedSplats,
+    cam: Camera,
+    bg_color: jnp.ndarray,
+    backend: str = "pallas",
+    pair_cap: int = 2 ** 21,
+    means2d_zero: jnp.ndarray | None = None,
+) -> RasterOutput:
+    """Rasterize prepared splats into the reference's raw output maps."""
+    if backend == "ref":
+        prep = _shift_tmat(prep, means2d_zero)
+        return rasterize_reference(prep, cam, bg_color)
+    interpret = backend == "pallas_interp"
+
+    prep = _shift_tmat(prep, means2d_zero)
+    C = prep.color.shape[-1]
+    H, W = cam.H, cam.W
+    Hp = -(-H // rp.TILE) * rp.TILE
+    Wp = -(-W // rp.TILE) * rp.TILE
+    tiles_x, tiles_y = tile_dims(Hp, Wp, rp.TILE)
+
+    bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK)
+    pair_data = _pack_pairs(prep, bins.gauss_idx)
+    tiles_out, wet_pairs = rp.blend_tiles(
+        pair_data, bins.tile_bounds, C, tiles_x, interpret
+    )
+
+    # decode tile blocks -> images
+    r = rp._rows(C)
+    FPAD = tiles_out.shape[1]
+    img = tiles_out.reshape(tiles_y, tiles_x, FPAD, rp.TILE, rp.TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(FPAD, Hp, Wp)[:, :H, :W]
+
+    trans = img[r["trans"]]
+    bg = jnp.zeros((C,), jnp.float32).at[: bg_color.shape[0]].set(bg_color)
+    rgb = img[:C].transpose(1, 2, 0) + trans[..., None] * bg[None, None, :]
+
+    # per-splat accumulated weights (sentinel row dropped)
+    P = prep.depth.shape[0]
+    wet = jax.ops.segment_sum(
+        jax.lax.stop_gradient(wet_pairs),
+        bins.gauss_idx,
+        num_segments=P + 1,
+    )[:P]
+
+    return RasterOutput(
+        rgb=rgb,
+        depth_expected=img[r["depth"]],
+        alpha=img[r["alpha"]],
+        normal=img[r["normal"]:r["normal"] + 3].transpose(1, 2, 0),
+        depth_median=jax.lax.stop_gradient(img[r["med"]]),
+        distortion=img[r["dist"]],
+        wet=wet,
+        radii=prep.radius,
+        trans=trans,
+    )
+
+
+class RenderOutput(NamedTuple):
+    """Decoded render products (reference render() output contract)."""
+
+    rgb: jnp.ndarray  # (H, W, 3)
+    specular: jnp.ndarray | None  # (H, W, S)
+    roughness: jnp.ndarray | None  # (H, W, 1)
+    alpha: jnp.ndarray  # (H, W, 1)
+    normal_world: jnp.ndarray  # (H, W, 3) unnormalized, alpha-weighted
+    depth_expected: jnp.ndarray  # (H, W, 1) alpha-normalized
+    depth_median: jnp.ndarray  # (H, W, 1)
+    surf_depth: jnp.ndarray  # (H, W, 1) expected/median blend
+    surf_normal: jnp.ndarray  # (H, W, 3) from depth finite differences
+    distortion: jnp.ndarray  # (H, W, 1)
+    wet: jnp.ndarray  # (P,)
+    radii: jnp.ndarray  # (P,)
+    visibility: jnp.ndarray  # (P,) bool
+
+
+def depth_to_normal(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:
+    """Pseudo surface normal from a z-depth map (dpt2norm semantics,
+    gaussian2d_utils.py:1190-1206): cross of central differences of the
+    backprojected point map, zero on the 1px border."""
+    H, W = cam.H, cam.W
+    i = jnp.arange(H, dtype=jnp.float32)
+    j = jnp.arange(W, dtype=jnp.float32)
+    jj, ii = jnp.meshgrid(j, i)
+    pix = jnp.stack([jj, ii, jnp.ones_like(ii)], -1)
+    Kinv = jnp.linalg.inv(cam.K)
+    d_world = (pix @ Kinv.T) @ cam.R  # (H, W, 3)
+    xyz = cam.center[None, None] + depth[..., None] * d_world
+
+    dx = xyz[2:, 1:-1] - xyz[:-2, 1:-1]
+    dy = xyz[1:-1, 2:] - xyz[1:-1, :-2]
+    n = jnp.cross(dx, dy)
+    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8, None)
+    out = jnp.zeros_like(xyz)
+    return out.at[1:-1, 1:-1].set(n)
+
+
+def render_decode(
+    out: RasterOutput,
+    cam: Camera,
+    specular_channels: int = 0,
+    depth_ratio: float = 0.0,
+) -> RenderOutput:
+    """Decode raw maps into the reference's post-processed products."""
+    C = out.rgb.shape[-1]
+    rgb = out.rgb[..., :3]
+    spec = rough = None
+    if specular_channels:
+        spec = out.rgb[..., 3:3 + specular_channels]
+        rough = out.rgb[..., 3 + specular_channels:3 + specular_channels + 1]
+    alpha = out.alpha[..., None]
+    normal_world = out.normal @ cam.R  # view -> world (R^T applied row-form)
+    depth_e = jnp.nan_to_num(out.depth_expected / jnp.where(
+        out.alpha == 0, 1.0, out.alpha
+    ))[..., None]
+    depth_m = jnp.nan_to_num(out.depth_median)[..., None]
+    surf_depth = depth_e * (1.0 - depth_ratio) + depth_m * depth_ratio
+    surf_normal = depth_to_normal(cam, surf_depth[..., 0])
+    surf_normal = surf_normal * jax.lax.stop_gradient(alpha)
+    return RenderOutput(
+        rgb=rgb,
+        specular=spec,
+        roughness=rough,
+        alpha=alpha,
+        normal_world=normal_world,
+        depth_expected=depth_e,
+        depth_median=depth_m,
+        surf_depth=surf_depth,
+        surf_normal=surf_normal,
+        distortion=out.distortion[..., None],
+        wet=out.wet,
+        radii=out.radii,
+        visibility=out.radii > 0,
+    )

@@ -1,0 +1,572 @@
+"""Production tile rasterizer: fused Pallas TPU blend kernels + custom VJP.
+
+TPU-native replacement for the reference's diff-surfel-rasterization CUDA
+kernels (contract at /root/reference/easyvolcap/utils/gaussian2d_utils.py:
+1090-1144). Architecture:
+
+- projection/culling (prepare_splats) and tile binning (bin_splats) run as
+  vectorized XLA; the per-tile blend runs as a Pallas kernel over a
+  grid of 16x16-pixel tiles, pipelining chunk DMA of the (tile,depth)-sorted
+  pair list from HBM.
+- The per-chunk blend is fully data-parallel: the CUDA pipeline's sequential
+  per-pixel front-to-back loop is replaced by a closed form — candidate
+  transmittances T~_i = T_chunk * exp(prefix_sum(log(1-a))) are monotone, so
+  the 1e-4 early-termination cutoff and the contributing set can be decided
+  without any sequential dependency; prefix sums run as log2(S) sublane
+  roll-adds on the VPU.
+- The backward kernel walks chunks in reverse, reconstructing T by division
+  (alpha <= 0.99 bounds it) and maintaining suffix accumulators — emitting
+  per-PAIR gradients w.r.t. the packed splat data; the gather from per-splat
+  data to pairs is plain XLA, so its transpose (scatter-add to splats) and
+  the whole prepare-phase backward come from JAX autodiff for free.
+
+Known deviation from the CUDA reference: median depth is treated as
+non-differentiable (EnvGS trains with depth_ratio=0, where only expected
+depth carries gradient).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from envgs_tpu.ops.common import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    FAR_PLANE,
+    FILTER_INV_SQUARE,
+    NEAR_PLANE,
+    T_CUTOFF,
+)
+
+TILE = 16
+NPIX = TILE * TILE  # 256
+CHUNK = 32  # pairs per inner step (sublane dim)
+DPAD = 32  # packed per-pair feature width (lane dim)
+
+# pair_data column layout
+_C_TMAT = 0  # 9 floats, row-major (x-row, y-row, w-row over (u,v,1))
+_C_CX = 9
+_C_CY = 10
+_C_OPAC = 11
+_C_NRM = 12  # 3 floats
+_C_COLOR = 15  # C floats (C <= 7)
+
+
+def _fout(C: int) -> int:
+    """Output rows: C colors, depth_e, alpha, n0..n2, med, dist, T, D1, D2, last."""
+    return C + 11
+
+
+def _fpad(C: int) -> int:
+    return -(-_fout(C) // 8) * 8
+
+
+# row indices within the per-tile output block
+def _rows(C: int):
+    return dict(
+        color=0, depth=C, alpha=C + 1, normal=C + 2, med=C + 5, dist=C + 6,
+        trans=C + 7, d1=C + 8, d2=C + 9, last=C + 10,
+    )
+
+
+def _cumsum_sublane(x, S, exclusive, reverse=False):
+    """Prefix/suffix sum along axis 0 of (S, NPIX) via roll-adds."""
+    total = x
+    sh = 1
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    while sh < S:
+        if reverse:
+            r = pltpu.roll(total, shift=S - sh, axis=0)  # pull from i+sh
+            total = total + jnp.where(row < S - sh, r, 0.0)
+        else:
+            r = pltpu.roll(total, shift=sh, axis=0)  # pull from i-sh
+            total = total + jnp.where(row >= sh, r, 0.0)
+        sh *= 2
+    return total - x if exclusive else total
+
+
+def _pixel_coords(t, tiles_x):
+    """Pixel centers of tile t as (1, NPIX) rows (integer-coord convention)."""
+    tx = jax.lax.rem(t, tiles_x)
+    ty = jax.lax.div(t, tiles_x)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    px = (tx * TILE + jax.lax.rem(lane, TILE)).astype(jnp.float32)
+    py = (ty * TILE + jax.lax.div(lane, TILE)).astype(jnp.float32)
+    return px, py
+
+
+def _splat_pixel_terms(d, px, py):
+    """Shared forward geometry: returns (a, amask, clampm, G, u, v, qz, z, b3).
+
+    d: (CHUNK, DPAD) packed pair chunk; px/py: (1, NPIX).
+    """
+    col = lambda i: d[:, i:i + 1]  # (S, 1)
+    t00, t01, t02 = col(0), col(1), col(2)
+    t10, t11, t12 = col(3), col(4), col(5)
+    t20, t21, t22 = col(6), col(7), col(8)
+    cx, cy, opac = col(_C_CX), col(_C_CY), col(_C_OPAC)
+
+    kx = t00 - px * t20
+    ky = t01 - px * t21
+    kz = t02 - px * t22
+    lx = t10 - py * t20
+    ly = t11 - py * t21
+    lz = t12 - py * t22
+    qx = ky * lz - kz * ly
+    qy = kz * lx - kx * lz
+    qz = kx * ly - ky * lx
+    qz = jnp.where(jnp.abs(qz) < 1e-12, 1e-12, qz)
+    u = qx / qz
+    v = qy / qz
+    rho3d = u * u + v * v
+    dx = cx - px
+    dy = cy - py
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    b3 = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    z = jnp.where(b3, u * t20 + v * t21 + t22, t22)
+    G = jnp.exp(-0.5 * rho)
+    oG = opac * G
+    clampm = oG < ALPHA_MAX
+    a_raw = jnp.minimum(ALPHA_MAX, oG)
+    amask = (a_raw >= ALPHA_MIN) & (z >= NEAR_PLANE)
+    a = jnp.where(amask, a_raw, 0.0)
+    return a, amask, clampm, G, u, v, qz, z, b3, dx, dy, t20, t21
+
+
+def _map_depth(z):
+    zc = jnp.maximum(z, 1e-6)
+    return (FAR_PLANE * (zc - NEAR_PLANE)) / ((FAR_PLANE - NEAR_PLANE) * zc)
+
+
+def _dmap_dz(z):
+    zc = jnp.maximum(z, 1e-6)
+    return FAR_PLANE * NEAR_PLANE / ((FAR_PLANE - NEAR_PLANE) * zc * zc)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
+                pair_vmem, wet_vmem, tcur, sem_p, sem_w):
+    r = _rows(C)
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    nchunks = jax.lax.div(end - start, CHUNK)
+    px, py = _pixel_coords(t, tiles_x)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    acc_ref[r["last"]:r["last"] + 1, :] = jnp.full((1, NPIX), -1.0)
+    tcur[...] = jnp.ones_like(tcur)
+
+    def chunk_body(c, _):
+        alive = jnp.max(tcur[...]) >= T_CUTOFF
+
+        @pl.when(alive)
+        def _():
+            off = start + c * CHUNK
+            cp = pltpu.make_async_copy(
+                pair_ref.at[pl.ds(off, CHUNK), :], pair_vmem, sem_p
+            )
+            cp.start()
+            cp.wait()
+            d = pair_vmem[...]
+            (a, amask, _clampm, _G, _u, _v, _qz, z, _b3, _dx, _dy, _t20,
+             _t21) = _splat_pixel_terms(d, px, py)
+
+            log_om = jnp.log1p(-a)
+            cum_ex = _cumsum_sublane(log_om, CHUNK, exclusive=True)
+            Ttil = tcur[...] * jnp.exp(cum_ex)  # (S, NPIX)
+            contrib = amask & (Ttil * (1.0 - a) >= T_CUTOFF)
+            w = jnp.where(contrib, a * Ttil, 0.0)
+
+            m = _map_depth(z)
+            wm = w * m
+            wm2 = wm * m
+            A_pre = acc_ref[r["alpha"]:r["alpha"] + 1, :] + _cumsum_sublane(
+                w, CHUNK, exclusive=True
+            )
+            D1_pre = acc_ref[r["d1"]:r["d1"] + 1, :] + _cumsum_sublane(
+                wm, CHUNK, exclusive=True
+            )
+            D2_pre = acc_ref[r["d2"]:r["d2"] + 1, :] + _cumsum_sublane(
+                wm2, CHUNK, exclusive=True
+            )
+            dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
+
+            for i in range(C):
+                ci = d[:, _C_COLOR + i:_C_COLOR + i + 1]
+                acc_ref[i:i + 1, :] += jnp.sum(w * ci, axis=0, keepdims=True)
+            for i in range(3):
+                ni = d[:, _C_NRM + i:_C_NRM + i + 1]
+                acc_ref[r["normal"] + i:r["normal"] + i + 1, :] += jnp.sum(
+                    w * ni, axis=0, keepdims=True
+                )
+            acc_ref[r["depth"]:r["depth"] + 1, :] += jnp.sum(
+                w * z, axis=0, keepdims=True
+            )
+            acc_ref[r["alpha"]:r["alpha"] + 1, :] += jnp.sum(
+                w, axis=0, keepdims=True
+            )
+            acc_ref[r["d1"]:r["d1"] + 1, :] += jnp.sum(wm, axis=0, keepdims=True)
+            acc_ref[r["d2"]:r["d2"] + 1, :] += jnp.sum(wm2, axis=0, keepdims=True)
+            acc_ref[r["dist"]:r["dist"] + 1, :] += jnp.sum(
+                dist_c, axis=0, keepdims=True
+            )
+            rank = (
+                (c * CHUNK).astype(jnp.float32)
+                + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, NPIX), 0)
+            )
+            # median depth: z of the LAST contributor whose pre-blend T > 0.5
+            c2 = contrib & (Ttil > 0.5)
+            maxr = jnp.max(jnp.where(c2, rank, -1.0), axis=0, keepdims=True)
+            zmed = jnp.sum(
+                jnp.where(c2 & (rank == maxr), z, 0.0), axis=0, keepdims=True
+            )
+            acc_ref[r["med"]:r["med"] + 1, :] = jnp.where(
+                maxr >= 0, zmed, acc_ref[r["med"]:r["med"] + 1, :]
+            )
+            acc_ref[r["last"]:r["last"] + 1, :] = jnp.maximum(
+                acc_ref[r["last"]:r["last"] + 1, :],
+                jnp.max(jnp.where(contrib, rank, -1.0), axis=0, keepdims=True),
+            )
+            tcur[...] = tcur[...] * jnp.exp(
+                jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True)
+            )
+
+            # per-pair accumulated blend weight ("wet") for this chunk
+            wet_vmem[...] = jnp.sum(w, axis=1, keepdims=True)
+            wr = pltpu.make_async_copy(
+                wet_vmem, wet_ref.at[jax.lax.div(off, CHUNK)], sem_w
+            )
+            wr.start()
+            wr.wait()
+
+        # dead chunks still need their wet rows zeroed
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            off = start + c * CHUNK
+            wet_vmem[...] = jnp.zeros_like(wet_vmem)
+            wr = pltpu.make_async_copy(
+                wet_vmem, wet_ref.at[jax.lax.div(off, CHUNK)], sem_w
+            )
+            wr.start()
+            wr.wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    acc_ref[r["trans"]:r["trans"] + 1, :] = tcur[...]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
+                gpair_ref, pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g):
+    """Reverse walk emitting per-pair gradients.
+
+    res_ref: (FPAD, NPIX) forward outputs (residuals).
+    g_ref:   (FPAD, NPIX) upstream cotangents (med/d1/d2/last rows unused,
+             trans row = full cotangent for final transmittance incl. bg).
+    suf:     (4, NPIX) scratch [sufA, sufD1, sufD2, suf_gw] (suffix sums
+             over already-processed = later splats).
+    """
+    r = _rows(C)
+    t = pl.program_id(0)
+    start = bounds_ref[t]
+    end = bounds_ref[t + 1]
+    px, py = _pixel_coords(t, tiles_x)
+
+    A_tot = res_ref[r["alpha"]:r["alpha"] + 1, :]
+    D1_tot = res_ref[r["d1"]:r["d1"] + 1, :]
+    D2_tot = res_ref[r["d2"]:r["d2"] + 1, :]
+    T_fin = res_ref[r["trans"]:r["trans"] + 1, :]
+    last = res_ref[r["last"]:r["last"] + 1, :]
+
+    g_trans = g_ref[r["trans"]:r["trans"] + 1, :]
+    g_depth = g_ref[r["depth"]:r["depth"] + 1, :]
+    g_alpha = g_ref[r["alpha"]:r["alpha"] + 1, :]
+    g_dist = g_ref[r["dist"]:r["dist"] + 1, :]
+
+    tcur[...] = T_fin
+    suf[...] = jnp.zeros_like(suf)
+
+    # only chunks up to the last contributor carry gradient
+    lastmax = jnp.max(last)
+    nchunks = jax.lax.div(end - start, CHUNK)
+    nchunks_eff = jnp.minimum(
+        nchunks,
+        jax.lax.div(lastmax.astype(jnp.int32) + CHUNK, CHUNK),
+    )
+    nchunks_eff = jnp.maximum(nchunks_eff, 0)
+
+    def chunk_body(i, _):
+        c = nchunks_eff - 1 - i
+        off = start + c * CHUNK
+        cp = pltpu.make_async_copy(
+            pair_ref.at[pl.ds(off, CHUNK), :], pair_vmem, sem_p
+        )
+        cp.start()
+        cp.wait()
+        d = pair_vmem[...]
+        (a, amask, clampm, G, u, v, qz, z, b3, dx, dy, t20, t21) = (
+            _splat_pixel_terms(d, px, py)
+        )
+        rank = (
+            (c * CHUNK).astype(jnp.float32)
+            + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, NPIX), 0)
+        )
+        contrib = amask & (rank <= last)
+        a = jnp.where(contrib, a, 0.0)
+        om = 1.0 - a  # >= 0.01 by the alpha clamp
+
+        log_om = jnp.where(contrib, jnp.log1p(-a), 0.0)
+        # T before splat i = T_cur(after chunk) * exp(-sum_{j>=i} log(1-a_j))
+        s_inc = _cumsum_sublane(log_om, CHUNK, exclusive=False, reverse=True)
+        T_bef = tcur[...] * jnp.exp(-s_inc)
+
+        w = jnp.where(contrib, a * T_bef, 0.0)
+        m = _map_depth(z)
+        wm = w * m
+        wm2 = wm * m
+
+        # suffix (strictly later splats, global) of w, wm, wm2
+        sw_inc = _cumsum_sublane(w, CHUNK, exclusive=False, reverse=True)
+        sm_inc = _cumsum_sublane(wm, CHUNK, exclusive=False, reverse=True)
+        sm2_inc = _cumsum_sublane(wm2, CHUNK, exclusive=False, reverse=True)
+        A_suf = suf[0:1, :] + sw_inc - w
+        D1_suf = suf[1:2, :] + sm_inc - wm
+        D2_suf = suf[2:3, :] + sm2_inc - wm2
+        A_pre = A_tot - suf[0:1, :] - sw_inc
+        D1_pre = D1_tot - suf[1:2, :] - sm_inc
+        D2_pre = D2_tot - suf[2:3, :] - sm2_inc
+
+        # dL/dw
+        g_w = g_alpha + g_depth * z
+        for i_ in range(C):
+            ci = d[:, _C_COLOR + i_:_C_COLOR + i_ + 1]
+            g_w += g_ref[i_:i_ + 1, :] * ci
+        for i_ in range(3):
+            ni = d[:, _C_NRM + i_:_C_NRM + i_ + 1]
+            g_w += g_ref[r["normal"] + i_:r["normal"] + i_ + 1, :] * ni
+        g_w += g_dist * (
+            m * m * (A_pre + A_suf) + (D2_pre + D2_suf)
+            - 2.0 * m * (D1_pre + D1_suf)
+        )
+
+        gww = g_w * w
+        sgw_inc = _cumsum_sublane(gww, CHUNK, exclusive=False, reverse=True)
+        S_gw = suf[3:4, :] + sgw_inc - gww
+
+        g_a = jnp.where(
+            contrib,
+            g_w * T_bef - (S_gw + g_trans * T_fin) / om,
+            0.0,
+        )
+
+        # dL/dz (expected depth + distortion-through-m)
+        g_m = g_dist * 2.0 * (m * (A_pre + A_suf) - (D1_pre + D1_suf)) * w
+        g_z = w * g_depth + g_m * _dmap_dz(z)
+
+        # chain into splat geometry
+        opac = d[:, _C_OPAC:_C_OPAC + 1]
+        g_G = g_a * opac * clampm
+        g_opac_px = g_a * G * clampm
+        g_rho = -0.5 * G * g_G
+        b3f = b3.astype(jnp.float32) * contrib.astype(jnp.float32)
+        b2f = (1.0 - b3.astype(jnp.float32)) * contrib.astype(jnp.float32)
+        g_u = b3f * (2.0 * u * g_rho + g_z * t20)
+        g_v = b3f * (2.0 * v * g_rho + g_z * t21)
+        g_t20 = g_z * u * b3f
+        g_t21 = g_z * v * b3f
+        g_t22 = g_z * contrib.astype(jnp.float32)
+        g_qx = g_u / qz
+        g_qy = g_v / qz
+        g_qzz = -(u * g_u + v * g_v) / qz
+        # q = k x l  =>  g_k = l x g_q ; g_l = g_q x k
+        col = lambda i_: d[:, i_:i_ + 1]
+        t00, t01, t02 = col(0), col(1), col(2)
+        t10, t11, t12 = col(3), col(4), col(5)
+        t20c, t21c, t22c = col(6), col(7), col(8)
+        kx = t00 - px * t20c
+        ky = t01 - px * t21c
+        kz = t02 - px * t22c
+        lx = t10 - py * t20c
+        ly = t11 - py * t21c
+        lz = t12 - py * t22c
+        g_kx = ly * g_qzz - lz * g_qy
+        g_ky = lz * g_qx - lx * g_qzz
+        g_kz = lx * g_qy - ly * g_qx
+        g_lx = g_qy * kz - g_qzz * ky
+        g_ly = g_qzz * kx - g_qx * kz
+        g_lz = g_qx * ky - g_qy * kx
+
+        g_T0 = (g_kx, g_ky, g_kz)
+        g_T1 = (g_lx, g_ly, g_lz)
+        g_T2 = (
+            -px * g_kx - py * g_lx + g_t20,
+            -px * g_ky - py * g_ly + g_t21,
+            -px * g_kz - py * g_lz + g_t22,
+        )
+        g_cx = g_rho * b2f * 2.0 * FILTER_INV_SQUARE * dx
+        g_cy = g_rho * b2f * 2.0 * FILTER_INV_SQUARE * dy
+
+        # reduce over pixels -> per-pair grads, pack into DPAD layout
+        red = lambda x_: jnp.sum(x_, axis=1, keepdims=True)  # (S, 1)
+        cols = [red(gt) for gt in g_T0 + g_T1 + g_T2]  # 9 tmat grads
+        cols += [red(g_cx), red(g_cy), red(g_opac_px)]
+        cols += [
+            red(g_ref[r["normal"] + i_:r["normal"] + i_ + 1, :] * w)
+            for i_ in range(3)
+        ]
+        cols += [red(g_ref[i_:i_ + 1, :] * w) for i_ in range(C)]
+        cols += [jnp.zeros((CHUNK, 1), jnp.float32)] * (DPAD - len(cols))
+        gp_vmem[...] = jnp.concatenate(cols, axis=1)
+
+        gw_dma = pltpu.make_async_copy(
+            gp_vmem, gpair_ref.at[pl.ds(off, CHUNK), :], sem_g
+        )
+        gw_dma.start()
+        gw_dma.wait()
+
+        # update carries
+        suf[0:1, :] += jnp.sum(w, axis=0, keepdims=True)
+        suf[1:2, :] += jnp.sum(wm, axis=0, keepdims=True)
+        suf[2:3, :] += jnp.sum(wm2, axis=0, keepdims=True)
+        suf[3:4, :] += jnp.sum(gww, axis=0, keepdims=True)
+        tcur[...] = tcur[...] * jnp.exp(-jnp.sum(log_om, axis=0, keepdims=True))
+        return 0
+
+    jax.lax.fori_loop(0, nchunks_eff, chunk_body, 0)
+
+    # zero the gradient rows of chunks beyond the last contributor
+    def zero_body(c, _):
+        @pl.when(c >= nchunks_eff)
+        def _():
+            off = start + c * CHUNK
+            gp_vmem[...] = jnp.zeros_like(gp_vmem)
+            gz = pltpu.make_async_copy(
+                gp_vmem, gpair_ref.at[pl.ds(off, CHUNK), :], sem_g
+            )
+            gz.start()
+            gz.wait()
+        return 0
+
+    nchunks = jax.lax.div(end - start, CHUNK)
+    jax.lax.fori_loop(0, nchunks, zero_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret):
+    """pair_data (CAP, DPAD), tile_bounds (T+1,) -> (tiles (T, FPAD, NPIX), wet (CAP,))."""
+    return _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret)
+
+
+def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
+    cap = pair_data.shape[0]
+    num_tiles = tile_bounds.shape[0] - 1
+    FPAD = _fpad(C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, FPAD, NPIX), lambda t, b: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((CHUNK, 1), jnp.float32),
+            pltpu.VMEM((1, NPIX), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    def kernel(bounds_ref, pair_ref, out_ref, wet_ref, pair_vmem, wet_vmem,
+               tcur, sem_p, sem_w):
+        _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, out_ref.at[0], wet_ref,
+                    pair_vmem, wet_vmem, tcur, sem_p, sem_w)
+
+    tiles_out, wet = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, FPAD, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((cap // CHUNK, CHUNK, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_bounds, pair_data)
+    return tiles_out, wet.reshape(cap)
+
+
+def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret):
+    out = _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret)
+    return out, (pair_data, tile_bounds, out[0])
+
+
+def _blend_bwd(C, tiles_x, interpret, residuals, cotangents):
+    pair_data, tile_bounds, tiles_out = residuals
+    g_tiles, _g_wet = cotangents  # wet is treated as non-differentiable
+    cap = pair_data.shape[0]
+    num_tiles = tile_bounds.shape[0] - 1
+    FPAD = _fpad(C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, FPAD, NPIX), lambda t, b: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, FPAD, NPIX), lambda t, b: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((1, NPIX), jnp.float32),
+            pltpu.VMEM((4, NPIX), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    def kernel(bounds_ref, pair_ref, res_ref, g_ref, gpair_ref, pair_vmem,
+               gp_vmem, tcur, suf, sem_p, sem_g):
+        _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref.at[0],
+                    g_ref.at[0], gpair_ref, pair_vmem, gp_vmem, tcur, suf,
+                    sem_p, sem_g)
+
+    g_pair = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((cap, DPAD), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(tile_bounds, pair_data, tiles_out, g_tiles)[0]
+    return g_pair, None
+
+
+blend_tiles.defvjp(_blend_fwd, _blend_bwd)

@@ -73,12 +73,23 @@ def rasterize_reference(
     )
     px, py = jj, ii  # pixel sample positions on integer coords
 
+    tile = 16  # tile-membership culling granularity (matches the tile kernel:
+    # a splat is evaluated at every pixel of every tile its AABB overlaps,
+    # and rejected only by the alpha floor — CUDA-pipeline semantics)
+    tpx = jnp.floor(px / tile)
+    tpy = jnp.floor(py / tile)
+    ntx = -(-W // tile)
+    nty = -(-H // tile)
+
     def body(carry, xs):
         T, done, acc_rgb, acc_d, acc_a, acc_n, med, dist, d1, d2 = carry
         tm, ce, nr, co, op, va, ra = xs
         G, z = splat_response(tm, ce, px, py)
-        # pixel inside the splat's conservative screen radius
-        inside = (jnp.abs(px - ce[0]) <= ra) & (jnp.abs(py - ce[1]) <= ra)
+        x0 = jnp.clip(jnp.floor((ce[0] - ra) / tile), 0, ntx - 1)
+        x1 = jnp.clip(jnp.floor((ce[0] + ra) / tile), 0, ntx - 1)
+        y0 = jnp.clip(jnp.floor((ce[1] - ra) / tile), 0, nty - 1)
+        y1 = jnp.clip(jnp.floor((ce[1] + ra) / tile), 0, nty - 1)
+        inside = (tpx >= x0) & (tpx <= x1) & (tpy >= y0) & (tpy <= y1)
         alpha = jnp.minimum(ALPHA_MAX, op * G)
         live = va & inside & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE) & (~done)
         test_T = T * (1.0 - alpha)

@@ -1,0 +1,296 @@
+"""EnvGS trainer: jitted train step + host-dispatched maintenance events.
+
+TPU-native redesign of the reference runner loop
+(/root/reference/easyvolcap/runners/volumetric_video_runner.py:370-475 and
+models/samplers/envgs_sampler.py:209-394):
+
+- `train_step` is ONE jitted function (loss -> grads -> masked sparse-Adam
+  update -> densification-stat accumulation) with static shapes, so it
+  compiles once for the whole run;
+- topology events (densify/prune, opacity/specular resets, color sabotage,
+  normal propagation, SH bumps) are separate jitted functions dispatched by
+  the host on their iteration schedule — the host knows the python step
+  index, so no recompiles and no retained-gradient choreography;
+- densification statistics come out of the train step itself via the
+  injected zero tensors (cotangents of means2d_zero / env_means3d_zero),
+  replacing the reference's `.grad` retention pattern.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from envgs_tpu.models import gaussians as G
+from envgs_tpu.models.envgs import EnvGSConfig, EnvGSOutput, forward_envgs
+from envgs_tpu.train.optimizer import (
+    AdamState,
+    LRConfig,
+    init_adam,
+    lr_tree_for,
+    sparse_adam_update,
+)
+from envgs_tpu.train.supervisor import LossConfig, compute_losses
+from envgs_tpu.utils.camera import Camera
+
+
+class ScheduleConfig(NamedTuple):
+    """Event cadences (envgs.yaml + EnvGSSampler defaults)."""
+
+    epochs: int = 80
+    ep_iter: int = 500
+    # base gaussians
+    densify_from_iter: int = 500
+    densify_until_iter: int = 21000
+    init_densification_interval: int = 100
+    norm_densification_interval: int = 500
+    opacity_reset_interval: int = 3000
+    sh_update_iter: int = 1000
+    sh_start_iter: int = 0
+    # env gaussians
+    env_densify_from_iter: int = 500
+    env_densify_until_iter: int = 21000
+    env_densification_interval: int = 500
+    env_opacity_reset_interval: int = 6000
+    env_sh_update_iter: int = 1000
+    env_sh_start_iter: int = 0
+    # 3DGS-DR tricks
+    reflection_start_iter: int = 3000
+    normal_prop_until_iter: int = 18000
+    normal_prop_interval: int = 1000
+    color_sabotage_until_iter: int = 18000
+    color_sabotage_interval: int = 1000
+    reset_specular_all: bool = False
+    init_specular: float = 1e-3
+    reset_opacity_value: float = 0.01
+
+    @property
+    def total_iters(self):
+        return self.epochs * self.ep_iter
+
+
+class TrainState(NamedTuple):
+    base: G.GaussianPool
+    env: G.GaussianPool
+    opt_base: AdamState
+    opt_env: AdamState
+    key: jax.Array
+
+
+def init_train_state(base, env, key) -> TrainState:
+    return TrainState(base, env, init_adam(base.params),
+                      init_adam(env.params), key)
+
+
+class Batch(NamedTuple):
+    """One training view (static H/W via the Camera)."""
+
+    rgb: jnp.ndarray  # (H, W, 3)
+    msk: jnp.ndarray  # (H, W, 1)
+    norm: jnp.ndarray  # (H, W, 3) monocular prior (zeros if absent)
+    has_norm: bool  # static
+
+
+def make_train_step(
+    cam: Camera,
+    model_cfg: EnvGSConfig,
+    loss_cfg: LossConfig,
+    lr_base: LRConfig,
+    lr_env: LRConfig,
+    lpips_fn=None,
+    donate: bool = True,
+):
+    """Build the jitted train step for a fixed camera resolution."""
+
+    def step(state: TrainState, batch: Batch, camera: Camera, it):
+        base, env = state.base, state.env
+        m2z = jnp.zeros((base.cap, 2))
+        e3z = jnp.zeros((env.cap, 3))
+
+        def loss_fn(bparams, eparams, m2z, e3z):
+            b = base._replace(params=bparams)
+            e = env._replace(params=eparams)
+            out = forward_envgs(b, e, camera, it, model_cfg, m2z, e3z)
+            loss, stats = compute_losses(
+                out, batch.rgb, batch.msk,
+                batch.norm if batch.has_norm else None,
+                camera.R, it, loss_cfg,
+                bg_brightness=model_cfg.bg_brightness,
+                lpips_fn=lpips_fn,
+            )
+            return loss, (out, stats)
+
+        (loss, (out, stats)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(base.params, env.params, m2z, e3z)
+        g_base, g_env, g_m2z, g_e3z = grads
+
+        # optimizer updates (sparse semantics: zero grads skip)
+        new_bp, opt_base = sparse_adam_update(
+            base.params, g_base, state.opt_base, lr_tree_for(it, lr_base)
+        )
+        new_ep, opt_env = sparse_adam_update(
+            env.params, g_env, state.opt_env, lr_tree_for(it, lr_env)
+        )
+
+        # densification statistics (add_densification_stats semantics)
+        b_stats = G.accumulate_stats(
+            base.stats, g_m2z, out.base_visibility, weight=out.base_wet,
+            radii=out.base_radii,
+        )
+        e_stats = G.accumulate_stats(
+            env.stats, g_e3z, out.env_visibility, weight=out.env_wet,
+        )
+
+        new_state = TrainState(
+            base._replace(params=new_bp, stats=b_stats),
+            env._replace(params=new_ep, stats=e_stats),
+            opt_base,
+            opt_env,
+            state.key,
+        )
+        stats = dict(stats)
+        stats["num_pts"] = base.n_active
+        stats["env_num_pts"] = env.n_active
+        return new_state, stats
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Maintenance events (host-dispatched, each jitted once)
+# ---------------------------------------------------------------------------
+
+def make_maintenance(sched: ScheduleConfig, dens_base: G.DensifyConfig,
+                     dens_env: G.DensifyConfig):
+    """Returns a host-side function applying all due events at iteration it."""
+
+    @jax.jit
+    def _densify_base(state: TrainState, key):
+        pool, mu_nu = G.densify_and_prune(
+            state.base, (state.opt_base.mu, state.opt_base.nu), dens_base, key
+        )
+        return state._replace(
+            base=pool, opt_base=AdamState(mu_nu[0], mu_nu[1], state.opt_base.step)
+        )
+
+    @jax.jit
+    def _densify_env(state: TrainState, key):
+        pool, mu_nu = G.densify_and_prune(
+            state.env, (state.opt_env.mu, state.opt_env.nu), dens_env, key
+        )
+        return state._replace(
+            env=pool, opt_env=AdamState(mu_nu[0], mu_nu[1], state.opt_env.step)
+        )
+
+    @jax.jit
+    def _reset_opacity_base(state: TrainState):
+        pool, mu_nu = G.reset_opacity(
+            state.base, (state.opt_base.mu, state.opt_base.nu),
+            sched.reset_opacity_value,
+        )
+        return state._replace(
+            base=pool, opt_base=AdamState(mu_nu[0], mu_nu[1], state.opt_base.step)
+        )
+
+    @jax.jit
+    def _reset_opacity_env(state: TrainState):
+        pool, mu_nu = G.reset_opacity(
+            state.env, (state.opt_env.mu, state.opt_env.nu),
+            sched.reset_opacity_value,
+        )
+        return state._replace(
+            env=pool, opt_env=AdamState(mu_nu[0], mu_nu[1], state.opt_env.step)
+        )
+
+    @jax.jit
+    def _reset_specular(state: TrainState):
+        pool, mu_nu = G.reset_specular(
+            state.base, (state.opt_base.mu, state.opt_base.nu),
+            sched.init_specular, sched.reset_specular_all,
+        )
+        return state._replace(
+            base=pool, opt_base=AdamState(mu_nu[0], mu_nu[1], state.opt_base.step)
+        )
+
+    @jax.jit
+    def _normal_prop(state: TrainState):
+        adam = (state.opt_base.mu, state.opt_base.nu)
+        pool, adam = G.enlarge_opacity(state.base, adam)
+        pool, adam = G.enlarge_scaling(pool, adam)
+        return state._replace(
+            base=pool, opt_base=AdamState(adam[0], adam[1], state.opt_base.step)
+        )
+
+    @jax.jit
+    def _color_sabotage(state: TrainState, key):
+        pool, adam = G.distort_color(
+            state.base, (state.opt_base.mu, state.opt_base.nu), key
+        )
+        return state._replace(
+            base=pool, opt_base=AdamState(adam[0], adam[1], state.opt_base.step)
+        )
+
+    @jax.jit
+    def _oneup_base(state: TrainState):
+        return state._replace(base=G.oneup_sh_degree(state.base))
+
+    @jax.jit
+    def _oneup_env(state: TrainState):
+        return state._replace(env=G.oneup_sh_degree(state.env))
+
+    def maintain(state: TrainState, it: int, key) -> TrainState:
+        """Apply every event due at python-int iteration `it` (called BEFORE
+        the forward of iteration it, mirroring update_dif_gaussians order)."""
+        s = sched
+        # densification interval switches by phase (envgs_sampler.py:213-216)
+        if it < s.reflection_start_iter or it >= s.normal_prop_until_iter:
+            dint = s.init_densification_interval
+        else:
+            dint = s.norm_densification_interval
+
+        # SH degree bumps
+        if (0 < it < s.densify_until_iter and it % s.sh_update_iter == 0
+                and it > s.sh_start_iter):
+            state = _oneup_base(state)
+        if (s.reflection_start_iter < it < s.env_densify_until_iter
+                and it % s.env_sh_update_iter == 0 and it > s.env_sh_start_iter):
+            state = _oneup_env(state)
+
+        # base densify/prune
+        if (s.densify_from_iter < it < s.densify_until_iter
+                and it % dint == 0):
+            key, k1 = jax.random.split(key)
+            state = _densify_base(state, k1)
+        # env densify/prune
+        if (s.env_densify_from_iter < it < s.env_densify_until_iter
+                and it > s.reflection_start_iter
+                and it % s.env_densification_interval == 0):
+            key, k1 = jax.random.split(key)
+            state = _densify_env(state, k1)
+
+        opacity_reset = False
+        if 0 < it < s.densify_until_iter and it % s.opacity_reset_interval == 0:
+            state = _reset_opacity_base(state)
+            opacity_reset = True
+            if it > s.opacity_reset_interval and it > s.reflection_start_iter:
+                state = _reset_specular(state)
+        if (s.reflection_start_iter < it < s.env_densify_until_iter
+                and it % s.env_opacity_reset_interval == 0):
+            state = _reset_opacity_env(state)
+
+        # 3DGS-DR tricks (envgs_sampler.py:311-325)
+        if (s.reflection_start_iter < it <= s.color_sabotage_until_iter
+                and it % s.color_sabotage_interval == 0 and not opacity_reset
+                and it < s.densify_until_iter):
+            key, k1 = jax.random.split(key)
+            state = _color_sabotage(state, k1)
+        if (s.reflection_start_iter < it <= s.normal_prop_until_iter
+                and it % s.normal_prop_interval == 0 and not opacity_reset
+                and it < s.densify_until_iter):
+            state = _normal_prop(state)
+        return state
+
+    return maintain

@@ -91,8 +91,30 @@ class Camera(NamedTuple):
 
     @property
     def pix_from_world(self) -> jnp.ndarray:
-        """(3, 4) world -> (x_pix*w, y_pix*w, w=z_view)."""
-        return self.pix_from_clip @ self.full_proj
+        """(3, 4) world -> (x_pix*w, y_pix*w, w=z_view).
+
+        Built directly from K so off-center principal points are exact
+        (the fov/ndc composition assumes cx=W/2): x_pix = fx x/z + cx - 0.5,
+        matching rays cast through (j+0.5, i+0.5) under K.
+        """
+        K = self.K
+        z = jnp.zeros((), jnp.float32)
+        o = jnp.ones((), jnp.float32)
+        pix_from_view = jnp.stack(
+            [
+                jnp.stack([K[0, 0], K[0, 1], K[0, 2] - 0.5, z]),
+                jnp.stack([z, K[1, 1], K[1, 2] - 0.5, z]),
+                jnp.stack([z, z, o, z]),
+            ],
+            axis=0,
+        )
+        return pix_from_view @ self.view
+
+    def crop_rows(self, row0: int, band_h: int) -> "Camera":
+        """Camera viewing rows [row0, row0+band_h) of this camera's image —
+        the image-band decomposition used for multi-chip rendering."""
+        K = self.K.at[1, 2].add(-float(row0))
+        return self._replace(H=band_h, K=K)
 
 
 def make_camera(H, W, K, R, T, znear=0.01, zfar=100.0) -> Camera:

@@ -54,18 +54,35 @@ def _toy_cam(H=64, W=96):
 
 
 def test_projection_roundtrip():
-    """pix_from_world must agree with plain K-projection for points in front."""
-    cam = _toy_cam()
+    """pix_from_world must agree with plain K-projection for points in front,
+    including off-center principal points."""
+    H, W = 64, 96
+    K = np.array([[100.0, 0, W / 2 + 3.7], [0, 100.0, H / 2 - 1.2], [0, 0, 1]],
+                 np.float32)
+    cam = make_camera(H, W, K, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
     pts = np.array([[0.1, -0.2, 2.0], [0.5, 0.3, 5.0]], np.float32)
     M = np.asarray(cam.pix_from_world)
     hom = np.concatenate([pts, np.ones((2, 1), np.float32)], -1)
     proj = hom @ M.T
     xy = proj[:, :2] / proj[:, 2:]
-    # K-projection puts pixel centers at (u+0.5); ndc2pix convention uses
-    # integer centers, so K-projection - 0.5 should match.
+    # K-projection puts pixel centers at (u+0.5); the rasterizer samples at
+    # integer coords, so K-projection - 0.5 must match exactly.
     Kp = (pts / pts[:, 2:]) @ np.asarray(cam.K).T
-    np.testing.assert_allclose(xy, Kp[:, :2] - 0.5, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(xy, Kp[:, :2] - 0.5, rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(proj[:, 2], pts[:, 2], rtol=1e-5)
+
+
+def test_camera_crop_rows():
+    """A row-band camera must reproduce the parent's projection shifted."""
+    cam = _toy_cam()
+    band = cam.crop_rows(16, 32)
+    pts = np.array([[0.1, -0.05, 3.0]], np.float32)
+    hom = np.concatenate([pts, np.ones((1, 1), np.float32)], -1)
+    full = hom @ np.asarray(cam.pix_from_world).T
+    part = hom @ np.asarray(band.pix_from_world).T
+    np.testing.assert_allclose(
+        part[:, 1] / part[:, 2], full[:, 1] / full[:, 2] - 16, atol=1e-4
+    )
 
 
 def test_rays_hit_projection():

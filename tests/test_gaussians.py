@@ -162,7 +162,7 @@ def test_resets_and_tricks():
     np.testing.assert_allclose(
         np.exp(np.asarray(pool6.params.scaling[0])),
         np.exp(np.asarray(pool5.params.scaling[0])) * 2.0,
-        rtol=1e-5,
+        rtol=1e-3,
     )
     # low-specular splats keep scaling
     np.testing.assert_allclose(
