@@ -1,11 +1,22 @@
 """Tile binning for the surfel rasterizer (pure XLA, static shapes).
 
 TPU-native replacement for the CUDA pipeline's duplicate-key radix sort
-(tile|depth keys): splat -> tile-rectangle pair expansion with a fixed pair
-capacity, a two-key lexicographic `lax.sort` (tile id, then center depth),
-and tile range extraction via searchsorted. Everything is shape-static so it
-jits once; overflow beyond `pair_cap` is dropped deterministically (the count
-is returned for monitoring).
+(tile|depth keys). Primitive choices are driven by measured v5e costs:
+binary-search `searchsorted` over the pair capacity costs ~100x a
+scatter+cumsum of the same size, and 1-element gathers cost ~8ms/2M while
+128-wide row gathers reach full HBM bandwidth. So:
+
+- pair -> splat ownership comes from `jnp.repeat(..., total_repeat_length)`
+  (scatter + cumsum under the hood), not searchsorted;
+- per-pair splat attributes come from ONE row gather out of a packed
+  (P, 8) table;
+- the (tile, depth) lexicographic `lax.sort` orders pairs;
+- chunk alignment (each tile's range padded to the kernel chunk size so DMA
+  never straddles tiles) is computed with small scatters + a cummax sweep,
+  ending in one index-composed gather.
+
+Everything is shape-static; overflow beyond `pair_cap` is dropped
+deterministically (count returned for monitoring).
 """
 from __future__ import annotations
 
@@ -18,8 +29,8 @@ from envgs_tpu.ops.common import PreparedSplats
 
 
 class BinnedPairs(NamedTuple):
-    gauss_idx: jnp.ndarray  # (cap,) int32 splat index per pair (sorted; P = pad)
-    tile_bounds: jnp.ndarray  # (num_tiles + 1,) int32 pair-range offsets
+    gauss_idx: jnp.ndarray  # (cap_aligned,) int32 splat per pair (P = pad)
+    tile_bounds: jnp.ndarray  # (num_tiles + 1,) int32 aligned range offsets
     num_pairs: jnp.ndarray  # () int32 real pair count (pre-drop)
     tiles_x: int
     tiles_y: int
@@ -30,18 +41,20 @@ def tile_dims(H: int, W: int, tile: int):
     return -(-W // tile), -(-H // tile)
 
 
+def _segmented_base(markers_pos, markers_val, cap, init):
+    """values[j] = val of the last marker position <= j (cummax sweep)."""
+    base = jnp.full((cap,), init, jnp.int32)
+    base = base.at[markers_pos].max(markers_val, mode="drop")
+    return jax.lax.cummax(base)
+
+
 def bin_splats(
     prep: PreparedSplats, H: int, W: int, tile: int, pair_cap: int,
-    align: int = 1,
+    align: int = 32,
 ) -> BinnedPairs:
-    """Expand each splat into (splat, tile) pairs sorted by (tile, depth).
-
-    With `align` > 1, each tile's pair range is padded to a multiple of
-    `align` (padding entries point at the sentinel splat index P, which the
-    blend kernel treats as inert) so that kernel DMA chunks never straddle a
-    tile boundary. The returned arrays then have static length
-    pair_cap + num_tiles * align.
-    """
+    """Expand splats into (splat, tile) pairs sorted by (tile, depth), with
+    each tile's pair range padded to a multiple of `align` (padding points
+    at the sentinel splat index P, which blend kernels treat as inert)."""
     tx_n, ty_n = tile_dims(H, W, tile)
     num_tiles = tx_n * ty_n
     P = prep.depth.shape[0]
@@ -56,58 +69,69 @@ def bin_splats(
     nx = jnp.where(prep.valid, x1 - x0 + 1, 0)
     ny = jnp.where(prep.valid, y1 - y0 + 1, 0)
     counts = nx * ny  # (P,)
-
-    ends = jnp.cumsum(counts)  # inclusive
+    ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1] if P > 0 else jnp.asarray(0, jnp.int32)
 
+    # pair -> splat (scatter+cumsum, not binary search)
+    gauss = jnp.repeat(
+        jnp.arange(P, dtype=jnp.int32), counts, total_repeat_length=pair_cap
+    )
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
-    # pair slot -> owning splat: first splat whose end > slot
-    gauss = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
     in_range = slots < jnp.minimum(total, pair_cap)
-    gauss_c = jnp.clip(gauss, 0, P - 1)
-    k = slots - starts[gauss_c]  # rank within the splat's rectangle
-    tx = x0[gauss_c] + k % jnp.maximum(nx[gauss_c], 1)
-    ty = y0[gauss_c] + k // jnp.maximum(nx[gauss_c], 1)
-    tid = jnp.where(in_range, ty * tx_n + tx, num_tiles)
+    gauss_c = jnp.where(in_range, gauss, 0)
 
-    depth = jnp.where(in_range, prep.depth[gauss_c], jnp.inf)
-    # lexicographic (tile, depth) sort; invalid pairs (tid=num_tiles) go last
-    tid_s, _, gauss_s = jax.lax.sort(
-        (tid, depth, jnp.where(in_range, gauss_c, 0)), num_keys=2
+    # per-pair splat attributes via ONE row gather from a packed table
+    tab = jnp.stack(
+        [
+            x0.astype(jnp.float32),
+            y0.astype(jnp.float32),
+            jnp.maximum(nx, 1).astype(jnp.float32),
+            starts.astype(jnp.float32),
+            prep.depth,
+        ],
+        axis=1,
+    )  # (P, 5)
+    rows = tab[gauss_c]  # (cap, 5) row gather
+    k = slots - rows[:, 3].astype(jnp.int32)
+    nx_g = rows[:, 2].astype(jnp.int32)
+    tx = rows[:, 0].astype(jnp.int32) + jax.lax.rem(k, nx_g)
+    ty = rows[:, 1].astype(jnp.int32) + jax.lax.div(k, nx_g)
+    tid = jnp.where(in_range, ty * tx_n + tx, num_tiles)
+    depth = jnp.where(in_range, rows[:, 4], jnp.inf)
+
+    tid_s, _, gauss_s = jax.lax.sort((tid, depth, gauss_c), num_keys=2)
+
+    # per-tile counts + aligned offsets (small arrays)
+    ones = jnp.where(tid_s < num_tiles, 1, 0)
+    counts_t = jax.ops.segment_sum(ones, tid_s, num_segments=num_tiles + 1)[
+        :num_tiles
+    ].astype(jnp.int32)
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_t).astype(jnp.int32)]
+    )
+    padded = -(-counts_t // align) * align
+    poffs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
 
-    bounds = jnp.searchsorted(
-        tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-
-    if align > 1:
-        # re-scatter to chunk-aligned per-tile ranges
-        counts = bounds[1:] - bounds[:-1]
-        padded = -(-counts // align) * align
-        poffs = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
-        )
-        cap_aligned = pair_cap + num_tiles * align
-        tid_c = jnp.clip(tid_s, 0, num_tiles - 1)
-        new_pos = poffs[tid_c] + (
-            jnp.arange(pair_cap, dtype=jnp.int32) - bounds[tid_c]
-        )
-        new_pos = jnp.where(tid_s < num_tiles, new_pos, cap_aligned)  # drop
-        gauss_aligned = jnp.full((cap_aligned,), P, jnp.int32)  # P = sentinel
-        gauss_aligned = gauss_aligned.at[new_pos].set(gauss_s, mode="drop")
-        return BinnedPairs(
-            gauss_idx=gauss_aligned,
-            tile_bounds=poffs,
-            num_pairs=total.astype(jnp.int32),
-            tiles_x=tx_n,
-            tiles_y=ty_n,
-            tile=tile,
-        )
+    # aligned slot j -> source sorted index, via cummax sweeps over small
+    # scatters (tile starts); no per-slot binary search
+    cap_aligned = -(-(pair_cap + num_tiles * align) // align) * align
+    tstart = _segmented_base(poffs[:-1], bounds[:-1], cap_aligned, 0)
+    pstart = _segmented_base(
+        poffs[:-1], poffs[:-1], cap_aligned, 0
+    )
+    limit = _segmented_base(poffs[:-1], bounds[1:], cap_aligned, 0)
+    j = jnp.arange(cap_aligned, dtype=jnp.int32)
+    src = tstart + (j - pstart)
+    valid_dst = src < limit
+    src = jnp.where(valid_dst, jnp.clip(src, 0, pair_cap - 1), 0)
+    gauss_aligned = jnp.where(valid_dst, gauss_s[src], P)
 
     return BinnedPairs(
-        gauss_idx=gauss_s,
-        tile_bounds=bounds,
+        gauss_idx=gauss_aligned,
+        tile_bounds=poffs,
         num_pairs=total.astype(jnp.int32),
         tiles_x=tx_n,
         tiles_y=ty_n,

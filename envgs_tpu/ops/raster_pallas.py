@@ -45,8 +45,9 @@ from envgs_tpu.ops.common import (
 
 TILE = 16
 NPIX = TILE * TILE  # 256
-CHUNK = 32  # pairs per inner step (sublane dim)
-DPAD = 32  # packed per-pair feature width (lane dim)
+CHUNK = 64  # pairs per inner step (sublane dim)
+DPAD = 128  # packed per-pair feature width (lane dim; HBM DMA slices must
+#   be 128-lane aligned, and ANY-space arrays are physically 128-wide anyway)
 
 # pair_data column layout
 _C_TMAT = 0  # 9 floats, row-major (x-row, y-row, w-row over (u,v,1))
@@ -166,18 +167,31 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
     acc_ref[r["last"]:r["last"] + 1, :] = jnp.full((1, NPIX), -1.0)
     tcur[...] = jnp.ones_like(tcur)
 
+    # double-buffered pair DMA: prefetch chunk c+1 while blending chunk c
+    def pair_dma(slot, c):
+        return pltpu.make_async_copy(
+            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_vmem.at[slot],
+            sem_p.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        pair_dma(0, 0).start()
+
     def chunk_body(c, _):
         alive = jnp.max(tcur[...]) >= T_CUTOFF
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            pair_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        pair_dma(jax.lax.rem(c, 2), c).wait()
 
         @pl.when(alive)
         def _():
             off = start + c * CHUNK
-            cp = pltpu.make_async_copy(
-                pair_ref.at[pl.ds(off, CHUNK), :], pair_vmem, sem_p
-            )
-            cp.start()
-            cp.wait()
-            d = pair_vmem[...]
+            d = pair_vmem[jax.lax.rem(c, 2)]
             (a, amask, _clampm, _G, _u, _v, _qz, z, _b3, _dx, _dy, _t20,
              _t21) = _splat_pixel_terms(d, px, py)
 
@@ -222,7 +236,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             )
             rank = (
                 (c * CHUNK).astype(jnp.float32)
-                + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, NPIX), 0)
+                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0).astype(jnp.float32)
             )
             # median depth: z of the LAST contributor whose pre-blend T > 0.5
             c2 = contrib & (Ttil > 0.5)
@@ -241,10 +255,19 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
                 jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True)
             )
 
-            # per-pair accumulated blend weight ("wet") for this chunk
-            wet_vmem[...] = jnp.sum(w, axis=1, keepdims=True)
+            # per-pair accumulated blend weight ("wet") for this chunk.
+            # (CHUNK,1) -> (1,128) without a relayout: ones @ (wsum * eye)
+            wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            ).astype(jnp.float32)
+            wet_vmem[...] = jnp.dot(
+                jnp.ones((1, CHUNK), jnp.float32), wsum * eye,
+                preferred_element_type=jnp.float32,
+            )
             wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[jax.lax.div(off, CHUNK)], sem_w
+                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w
             )
             wr.start()
             wr.wait()
@@ -255,7 +278,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             off = start + c * CHUNK
             wet_vmem[...] = jnp.zeros_like(wet_vmem)
             wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[jax.lax.div(off, CHUNK)], sem_w
+                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w
             )
             wr.start()
             wr.wait()
@@ -309,21 +332,34 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
     )
     nchunks_eff = jnp.maximum(nchunks_eff, 0)
 
+    # double-buffered pair DMA (reverse order: prefetch chunk c-1)
+    def pair_dma(slot, c):
+        return pltpu.make_async_copy(
+            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_vmem.at[slot],
+            sem_p.at[slot],
+        )
+
+    @pl.when(nchunks_eff > 0)
+    def _():
+        pair_dma(jax.lax.rem(nchunks_eff - 1, 2), nchunks_eff - 1).start()
+
     def chunk_body(i, _):
         c = nchunks_eff - 1 - i
         off = start + c * CHUNK
-        cp = pltpu.make_async_copy(
-            pair_ref.at[pl.ds(off, CHUNK), :], pair_vmem, sem_p
-        )
-        cp.start()
-        cp.wait()
-        d = pair_vmem[...]
+
+        @pl.when(c - 1 >= 0)
+        def _():
+            pair_dma(jax.lax.rem(c - 1, 2), c - 1).start()
+
+        pair_dma(jax.lax.rem(c, 2), c).wait()
+        d = pair_vmem[jax.lax.rem(c, 2)]
         (a, amask, clampm, G, u, v, qz, z, b3, dx, dy, t20, t21) = (
             _splat_pixel_terms(d, px, py)
         )
         rank = (
             (c * CHUNK).astype(jnp.float32)
-            + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, NPIX), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0).astype(jnp.float32)
         )
         contrib = amask & (rank <= last)
         a = jnp.where(contrib, a, 0.0)
@@ -429,7 +465,7 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
             for i_ in range(3)
         ]
         cols += [red(g_ref[i_:i_ + 1, :] * w) for i_ in range(C)]
-        cols += [jnp.zeros((CHUNK, 1), jnp.float32)] * (DPAD - len(cols))
+        cols.append(jnp.zeros((CHUNK, DPAD - len(cols)), jnp.float32))
         gp_vmem[...] = jnp.concatenate(cols, axis=1)
 
         gw_dma = pltpu.make_async_copy(
@@ -491,10 +527,10 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
-            pltpu.VMEM((CHUNK, 1), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NPIX), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -509,12 +545,12 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, FPAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((cap // CHUNK, CHUNK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cap // CHUNK, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_bounds, pair_data)
-    return tiles_out, wet.reshape(cap)
+    return tiles_out, wet[:, :CHUNK].reshape(cap)
 
 
 def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret):
@@ -544,11 +580,11 @@ def _blend_bwd(C, tiles_x, interpret, residuals, cotangents):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, NPIX), jnp.float32),
             pltpu.VMEM((4, NPIX), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

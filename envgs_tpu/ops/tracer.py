@@ -38,7 +38,7 @@ from envgs_tpu.ops.tracer_ref import TraceOutput, TraceScene
 RTILE = 16  # ray tile edge (RTILE^2 rays per tile)
 NRAY = RTILE * RTILE
 CHUNK = 32
-DPAD = 32
+DPAD = 128  # 128-lane alignment for HBM DMA slices
 T_MIN = 1e-4  # minimum ray parameter (self-hit guard)
 
 # pair_data columns
@@ -282,16 +282,24 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             acc_ref[r["dist"]:r["dist"] + 1, :] += jnp.sum(
                 dist_c, axis=0, keepdims=True)
             rank = ((c * CHUNK).astype(jnp.float32)
-                    + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, NRAY), 0))
+                    + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NRAY), 0).astype(jnp.float32))
             acc_ref[r["last"]:r["last"] + 1, :] = jnp.maximum(
                 acc_ref[r["last"]:r["last"] + 1, :],
                 jnp.max(jnp.where(contrib, rank, -1.0), axis=0, keepdims=True))
             tcur[...] = tcur[...] * jnp.exp(
                 jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True))
 
-            wet_vmem[...] = jnp.sum(w, axis=1, keepdims=True)
+            wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            ).astype(jnp.float32)
+            wet_vmem[...] = jnp.dot(
+                jnp.ones((1, CHUNK), jnp.float32), wsum * eye,
+                preferred_element_type=jnp.float32,
+            )
             wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[jax.lax.div(off, CHUNK)], sem_w)
+                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w)
             wr.start()
             wr.wait()
 
@@ -300,7 +308,7 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             off = start + c * CHUNK
             wet_vmem[...] = jnp.zeros_like(wet_vmem)
             wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[jax.lax.div(off, CHUNK)], sem_w)
+                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w)
             wr.start()
             wr.wait()
 
@@ -351,7 +359,7 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
         a, amask, clampm, G, t, u, v, dn, flip, (ex, ey, ez) = (
             _ray_splat_terms(d, rays))
         rank = ((c * CHUNK).astype(jnp.float32)
-                + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, NRAY), 0))
+                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NRAY), 0).astype(jnp.float32))
         contrib = amask & (rank <= last)
         a = jnp.where(contrib, a, 0.0)
         om = 1.0 - a
@@ -442,7 +450,7 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
         ]
         for i_ in range(A):
             cols.append(red(g_ref[r["aux"] + i_:r["aux"] + i_ + 1, :] * w))
-        cols += [zero] * (DPAD - len(cols))
+        cols.append(jnp.zeros((CHUNK, DPAD - len(cols)), jnp.float32))
         gp_vmem[...] = jnp.concatenate(cols, axis=1)
         gw_dma = pltpu.make_async_copy(
             gp_vmem, gpair_ref.at[pl.ds(off, CHUNK), :], sem_g)
@@ -518,7 +526,7 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
-            pltpu.VMEM((CHUNK, 1), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -535,12 +543,12 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, FPAD, NRAY), jnp.float32),
-            jax.ShapeDtypeStruct((cap // CHUNK, CHUNK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cap // CHUNK, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_bounds, pair_data, rays)
-    return tiles_out, wet.reshape(cap)
+    return tiles_out, wet[:, :CHUNK].reshape(cap)
 
 
 def _trace_fwd(pair_data, rays, tile_bounds, A, interpret):

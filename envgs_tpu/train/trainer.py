@@ -90,7 +90,6 @@ class Batch(NamedTuple):
     rgb: jnp.ndarray  # (H, W, 3)
     msk: jnp.ndarray  # (H, W, 1)
     norm: jnp.ndarray  # (H, W, 3) monocular prior (zeros if absent)
-    has_norm: bool  # static
 
 
 def make_train_step(
@@ -101,10 +100,18 @@ def make_train_step(
     lr_env: LRConfig,
     lpips_fn=None,
     donate: bool = True,
+    has_norm: bool = False,
 ):
-    """Build the jitted train step for a fixed camera resolution."""
+    """Build the jitted train step for a fixed camera resolution.
 
-    def step(state: TrainState, batch: Batch, camera: Camera, it):
+    The returned step takes (state, batch, K, R, T, it): intrinsics/extrinsics
+    are traced arrays (any view works without recompiling); H/W/near/far are
+    static from the template camera `cam`.
+    """
+    H, W, znear, zfar = cam.H, cam.W, cam.znear, cam.zfar
+
+    def step(state: TrainState, batch: Batch, K, R, T, it):
+        camera = Camera(H, W, K, R, T, znear, zfar)
         base, env = state.base, state.env
         m2z = jnp.zeros((base.cap, 2))
         e3z = jnp.zeros((env.cap, 3))
@@ -115,7 +122,7 @@ def make_train_step(
             out = forward_envgs(b, e, camera, it, model_cfg, m2z, e3z)
             loss, stats = compute_losses(
                 out, batch.rgb, batch.msk,
-                batch.norm if batch.has_norm else None,
+                batch.norm if has_norm else None,
                 camera.R, it, loss_cfg,
                 bg_brightness=model_cfg.bg_brightness,
                 lpips_fn=lpips_fn,

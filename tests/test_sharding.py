@@ -1,0 +1,67 @@
+"""Multi-chip band-parallel training on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from envgs_tpu.models.envgs import EnvGSConfig
+from envgs_tpu.parallel.sharding import make_mesh, make_sharded_train_step
+from envgs_tpu.train.optimizer import LRConfig
+from envgs_tpu.train.supervisor import LossConfig
+from envgs_tpu.train.trainer import Batch, init_train_state, make_train_step
+from tests.test_envgs_model import _cam, _pools
+
+
+def test_band_parallel_matches_single_chip():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    H, W = 128, 32  # 8 bands x 16 rows
+    cam = _cam(H, W, f=40.0)
+    base, env = _pools(seed=7)
+    cfg = EnvGSConfig(
+        raster_backend="pallas_interp", tracer_backend="ref",
+        pair_cap=2 ** 12, reflection_start_iter=0,
+    )
+    loss_cfg = LossConfig(
+        img_loss_weight=1.0, ssim_loss_weight=0.0, gs_norm_loss_weight=0.0,
+        norm_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    lr = LRConfig(use_opacity_pulse=False)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        rgb=jnp.asarray(rng.random((H, W, 3)).astype(np.float32)),
+        msk=jnp.ones((H, W, 1)),
+        norm=jnp.zeros((H, W, 3)),
+    )
+    it = jnp.asarray(5)
+
+    # single-chip step
+    step1 = make_train_step(cam, cfg, loss_cfg, lr, lr, donate=False)
+    s1 = init_train_state(base, env, jax.random.PRNGKey(0))
+    s1n, stats1 = step1(s1, batch, cam.K, cam.R, cam.T, it)
+
+    # 8-band sharded step
+    mesh = make_mesh(8)
+    step8 = make_sharded_train_step(mesh, cam, cfg, loss_cfg, lr, lr)
+    s8 = init_train_state(base, env, jax.random.PRNGKey(0))
+    s8n, stats8 = step8(s8, batch, cam.K, cam.R, cam.T, it)
+
+    # image L1 loss decomposes exactly over equal bands
+    np.testing.assert_allclose(
+        float(stats8["img_loss"]), float(stats1["img_loss"]), rtol=1e-5
+    )
+    # parameter updates must match (grads all-reduced over bands)
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.params.xyz), np.asarray(s1n.base.params.xyz),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.params.features_dc),
+        np.asarray(s1n.base.params.features_dc), atol=2e-5,
+    )
+    # densification stats must match (wet summed over bands)
+    # band K-shifts perturb last-ulp alphas at the 1/255 floor, so a few
+    # boundary splats differ discretely; bound it statistically
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.stats.weight_accum),
+        np.asarray(s1n.base.stats.weight_accum), rtol=5e-3, atol=0.05,
+    )
