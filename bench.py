@@ -1,0 +1,79 @@
+"""Driver benchmark: full EnvGS render FPS per chip at ~1600px.
+
+Renders the complete reflective pipeline (base rasterization -> reflected
+rays -> environment trace -> composite) at 1584x1040 on a production-scale
+synthetic workload (300K base surfels after culling-level density, 32K
+environment surfels) and reports frames/sec on one chip.
+
+vs_baseline normalizes against 8 FPS — the A100-class full-pipeline EnvGS
+figure (rasterizer + OptiX trace at ~1600px; the paper targets interactive
+rates and the repo publishes no tables, BASELINE.md). The driver records
+the raw value alongside.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+    from envgs_tpu.models.gaussians import create_pool, logit
+    from envgs_tpu.utils.camera import make_camera
+
+    H, W = 1040, 1584
+    P_BASE, P_ENV = 300_000, 32_768
+    rng = np.random.default_rng(0)
+
+    # base surfels: a ground-plane-ish slab in front of the camera
+    xyz = np.concatenate(
+        [rng.normal(size=(P_BASE, 2)) * 1.5,
+         (rng.random((P_BASE, 1)) * 5 + 2.0)], -1
+    ).astype(np.float32)
+    base = create_pool(xyz, rng.random((P_BASE, 3)).astype(np.float32),
+                       cap=P_BASE, sh_degree=3, init_opacity=0.8)
+    scal = np.full((P_BASE, 2), np.log(0.012), np.float32)
+    spec = np.full((P_BASE, 1), float(logit(jnp.asarray(0.3))), np.float32)
+    base = base._replace(params=base.params._replace(
+        scaling=jnp.asarray(scal), specular=jnp.asarray(spec)))
+
+    dirs = rng.normal(size=(P_ENV, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    env = create_pool((dirs * 20).astype(np.float32),
+                      rng.random((P_ENV, 3)).astype(np.float32),
+                      cap=P_ENV, sh_degree=3, init_opacity=0.8)
+    env = env._replace(params=env.params._replace(
+        scaling=jnp.full((P_ENV, 2), np.log(0.5))))
+
+    f = 0.9 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    cam = make_camera(H, W, K, np.eye(3, dtype=np.float32),
+                      np.zeros(3, np.float32), 0.02, 100.0)
+    cfg = EnvGSConfig(
+        raster_backend="pallas", tracer_backend="tiled",
+        pair_cap=2 ** 22, env_pair_cap=2 ** 21, reflection_start_iter=0,
+    )
+
+    fwd = jax.jit(lambda b, e, it: forward_envgs(b, e, cam, it, cfg).rgb_map)
+    it = jnp.asarray(10)
+    rgb = jax.block_until_ready(fwd(base, env, it))
+    assert np.all(np.isfinite(np.asarray(rgb)))
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        rgb = fwd(base, env, it)
+    jax.block_until_ready(rgb)
+    fps = n / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "envgs_full_render_fps_1600px_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 8.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

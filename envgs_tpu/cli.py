@@ -1,0 +1,211 @@
+"""Command-line entry points: train / test / render-path / smoke.
+
+The `evc`-family equivalent (/root/reference/easyvolcap/scripts/main.py via
+pyproject entry points): config-chain + dotted-override driven, e.g.
+
+  python -m envgs_tpu train -c configs/exps/envgs_synthetic.yaml
+  python -m envgs_tpu test  -c configs/exps/envgs_synthetic.yaml
+  python -m envgs_tpu smoke             # synthetic end-to-end sanity run
+
+Configs follow the reference's stacking semantics (engine/config.py):
+parents via `configs:`, `_delete_`, CLI `a.b.c=value` overrides.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from envgs_tpu.engine import Config, load_config
+from envgs_tpu.engine.registry import call_filtered
+from envgs_tpu.models import gaussians as G
+from envgs_tpu.models.envgs import EnvGSConfig
+from envgs_tpu.train.optimizer import LRConfig
+from envgs_tpu.train.runner import Runner
+from envgs_tpu.train.supervisor import LossConfig
+from envgs_tpu.train.trainer import ScheduleConfig
+
+
+def _named(cls, cfg: dict):
+    cfg = {k: v for k, v in (cfg or {}).items() if k in cls._fields}
+    return cls(**cfg)
+
+
+def build_from_config(cfg: Config):
+    """Config dict -> (views, eval_views, pools, cfg objects)."""
+    dcfg = cfg.get("dataset_cfg", {})
+    source = dcfg.get("source", "synthetic")
+
+    if source == "synthetic":
+        from envgs_tpu.data.synthetic import make_scene
+
+        scene = make_scene(
+            n_views=dcfg.get("n_views", 12),
+            H=dcfg.get("H", 128),
+            W=dcfg.get("W", 128),
+            seed=dcfg.get("seed", 0),
+        )
+        split = dcfg.get("eval_every", 4)
+        views, eval_views = [], []
+        for i, cam in enumerate(scene.cams):
+            v = dict(rgb=scene.images[i], msk=scene.masks[i],
+                     norm=scene.normals[i], camera=cam, name=f"{i:02d}")
+            (eval_views if (split and i % split == 0) else views).append(v)
+        xyz = np.concatenate([
+            np.asarray(scene.gt_base.params.xyz)[
+                np.asarray(scene.gt_base.stats.active)],
+        ])
+        rng = np.random.default_rng(0)
+        init_xyz = xyz + rng.normal(scale=0.05, size=xyz.shape).astype(np.float32)
+        init_rgb = rng.random(init_xyz.shape).astype(np.float32)
+        env_bounds = dcfg.get("env_bounds", [[-14, -14, -14], [14, 14, 14]])
+        spatial_scale = 2.5
+    else:
+        from envgs_tpu.data.dataset import MultiViewDataset
+
+        ds = call_filtered(MultiViewDataset, dict(dcfg, split="train"))
+        vs = call_filtered(MultiViewDataset, dict(dcfg, split="val"))
+        views = [ds[i] for i in range(len(ds))]
+        eval_views = [vs[i] for i in range(len(vs))]
+        init_xyz, init_rgb = ds.load_sfm(dcfg.get("preload_gs"))
+        env_bounds = dcfg.get("env_bounds", [[-1, -1, -1], [1, 1, 1]])
+        spatial_scale = ds.spatial_scale
+
+    mcfg = cfg.get("model_cfg", {})
+    scfg = mcfg.get("sampler_cfg", {})
+    model_cfg = _named(EnvGSConfig, scfg)
+    # CPU runs use the interpreter variants of the Pallas kernels
+    import jax
+
+    if jax.default_backend() == "cpu":
+        if model_cfg.raster_backend == "pallas":
+            model_cfg = model_cfg._replace(raster_backend="pallas_interp")
+        if model_cfg.tracer_backend == "tiled":
+            model_cfg = model_cfg._replace(tracer_backend="tiled_interp")
+    sched = _named(ScheduleConfig, {**scfg, **cfg.get("runner_cfg", {})})
+
+    sup = cfg.get("model_cfg", {}).get("supervisor_cfg", {})
+    loss_cfg = _named(LossConfig, sup)
+
+    ocfg = cfg.get("runner_cfg", {}).get("optimizer_cfg", {})
+    lr_table = ocfg.get("lr_table", {})
+    lr_common = dict(
+        xyz=lr_table.get("_xyz", 0.00016),
+        features_dc=lr_table.get("_features_dc", 0.0025),
+        features_rest=lr_table.get("_features_rest", 0.000125),
+        opacity=lr_table.get("_opacity", 0.05),
+        scaling=lr_table.get("_scaling", 0.005),
+        rotation=lr_table.get("_rotation", 0.001),
+        specular=lr_table.get("_specular", 0.01),
+        spatial_scale=spatial_scale,
+        reflection_start_iter=sched.reflection_start_iter,
+        normal_prop_until_iter=sched.normal_prop_until_iter,
+    )
+    lr_base = _named(LRConfig, lr_common)
+    lr_env = _named(LRConfig, dict(lr_common, use_opacity_pulse=False))
+
+    dens_base = _named(G.DensifyConfig, dict(
+        scfg, spatial_scale=spatial_scale,
+        max_gs=int(scfg.get("max_gs", 2_000_000)),
+    ))
+    env_keys = {
+        k[len("env_"):]: v for k, v in scfg.items() if k.startswith("env_")
+    }
+    dens_env = _named(G.DensifyConfig, dict(
+        env_keys, spatial_scale=spatial_scale,
+        max_gs=int(scfg.get("env_max_gs", 700_000)),
+    ))
+
+    # pools
+    cap = int(scfg.get("pool_cap", scfg.get("max_gs", 2 ** 17)))
+    env_cap = int(scfg.get("env_pool_cap", scfg.get("env_max_gs", 2 ** 16)))
+    base = G.create_pool(
+        init_xyz, init_rgb, cap=cap,
+        sh_degree=int(scfg.get("sh_deg", 3)),
+        init_opacity=float(scfg.get("init_occ", 0.1)),
+        specular_channels=int(scfg.get("specular_channels", 1)),
+        init_specular=float(scfg.get("init_specular", 1e-3)),
+        init_roughness=float(scfg.get("init_roughness", 0.5)),
+    )
+    from envgs_tpu.utils.grid import sample_points_subgrid
+
+    S = int(round((env_cap / 4) ** (1 / 3)))  # grid sized to half capacity
+    env_xyz = sample_points_subgrid(np.asarray(env_bounds, np.float32),
+                                    S=max(S, 2), N=2)
+    rng = np.random.default_rng(1)
+    env = G.create_pool(
+        env_xyz, rng.random(env_xyz.shape).astype(np.float32), cap=env_cap,
+        sh_degree=int(scfg.get("env_sh_deg", 3)),
+        init_opacity=float(scfg.get("env_init_occ", 0.1)),
+    )
+    return views, eval_views, base, env, model_cfg, loss_cfg, sched, \
+        dens_base, dens_env, lr_base, lr_env
+
+
+def make_runner(cfg: Config) -> Runner:
+    (views, eval_views, base, env, model_cfg, loss_cfg, sched, dens_base,
+     dens_env, lr_base, lr_env) = build_from_config(cfg)
+    rcfg = cfg.get("runner_cfg", {})
+    return Runner(
+        views=views,
+        eval_views=eval_views,
+        base=base,
+        env=env,
+        model_cfg=model_cfg,
+        loss_cfg=loss_cfg,
+        sched=sched,
+        dens_base=dens_base,
+        dens_env=dens_env,
+        lr_base=lr_base,
+        lr_env=lr_env,
+        exp_name=cfg.get("exp_name", "exp"),
+        out_root=cfg.get("out_root", "data"),
+        save_latest_every=rcfg.get("save_latest_every", 5000),
+        log_every=rcfg.get("log_interval", 50),
+        eval_every_iters=rcfg.get("eval_every_iters", 0),
+        resume=rcfg.get("resume", True),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("envgs_tpu")
+    p.add_argument("mode", choices=["train", "test", "smoke"])
+    p.add_argument("-c", "--config", default=None,
+                   help="comma-separated config chain")
+    p.add_argument("opts", nargs="*", help="dotted overrides a.b.c=v")
+    a = p.parse_args(argv)
+
+    if a.mode == "smoke":
+        cfg = Config.wrap({
+            "exp_name": "smoke",
+            "dataset_cfg": {"source": "synthetic", "H": 64, "W": 64,
+                            "n_views": 6},
+            "model_cfg": {"sampler_cfg": {
+                "pool_cap": 4096, "env_pool_cap": 4096,
+                "reflection_start_iter": 100, "pair_cap": 2 ** 15,
+                "tracer_backend": "ref",
+                # CPU smoke uses the reference rasterizer (the interpret-mode
+                # Pallas path is minutes-per-compile on one host core)
+                "raster_backend": "pallas"
+                if __import__("jax").default_backend() != "cpu" else "ref",
+            }},
+            "runner_cfg": {"epochs": 1, "ep_iter": 300, "log_interval": 25},
+        })
+        runner = make_runner(cfg)
+        runner.train()
+        runner.test()
+        return
+
+    cfg = load_config(a.config, overrides=a.opts, root=os.getcwd())
+    runner = make_runner(cfg)
+    if a.mode == "train":
+        runner.train()
+        runner.test()
+    else:
+        runner.test()
+
+
+if __name__ == "__main__":
+    main()

@@ -223,14 +223,31 @@ class MultiViewDataset:
             f"no SfM point cloud found under {self.data_root}"
         )
 
+    _native = None
+
+    def _load_rgb(self, v: View) -> np.ndarray:
+        """Native C++ decode+undistort+resize when built; python fallback."""
+        from envgs_tpu.data import native_loader
+
+        if native_loader.available():
+            if MultiViewDataset._native is None:
+                MultiViewDataset._native = native_loader.NativeLoader(4)
+            try:
+                return MultiViewDataset._native.load(
+                    v.image_path, v.H, v.W, v.K_orig, v.D
+                )
+            except IOError:
+                pass
+        im = _imread(v.image_path)[..., :3]
+        if v.D is not None and v.K_orig is not None:
+            im = _undistort(im, v.K_orig, v.D)
+        return _resize(im, v.H, v.W)
+
     def __getitem__(self, i: int) -> dict:
         if self.cache_images and i in self.cache:
             return self.cache[i]
         v = self.views[i]
-        im = _imread(v.image_path)[..., :3]
-        if v.D is not None and v.K_orig is not None:
-            im = _undistort(im, v.K_orig, v.D)
-        im = _resize(im, v.H, v.W)
+        im = self._load_rgb(v)
         item = dict(rgb=im, camera=v.camera, name=v.name, index=i)
         if v.mask_path:
             m = _resize(_imread(v.mask_path)[..., :1], v.H, v.W)

@@ -1,0 +1,226 @@
+"""Training / evaluation runner (host loop).
+
+The counterpart of the reference's VolumetricVideoRunner
+(/root/reference/easyvolcap/runners/volumetric_video_runner.py:307-571):
+epoch-driven train loop with periodic save/eval, checkpoint resume with the
+latest/N selection, console stat lines with ETA and smoothed losses, and
+the test loop producing metrics.json + typed image dumps. Device work stays
+inside the jitted train/render steps; everything here is host orchestration.
+"""
+from __future__ import annotations
+
+import collections
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envgs_tpu.models import gaussians as G
+from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+from envgs_tpu.train import checkpoints as ckpt
+from envgs_tpu.train.evaluator import Evaluator, Visualizer
+from envgs_tpu.train.optimizer import LRConfig
+from envgs_tpu.train.supervisor import LossConfig
+from envgs_tpu.train.trainer import (
+    Batch,
+    ScheduleConfig,
+    TrainState,
+    init_train_state,
+    make_maintenance,
+    make_train_step,
+)
+from envgs_tpu.utils.camera import Camera
+
+
+class SmoothedValue:
+    def __init__(self, window: int = 20):
+        self.vals = collections.deque(maxlen=window)
+
+    def update(self, v):
+        self.vals.append(float(v))
+
+    @property
+    def median(self):
+        return float(np.median(self.vals)) if self.vals else 0.0
+
+
+class Runner:
+    def __init__(
+        self,
+        views: list[dict],  # [{rgb, msk, norm?, camera}]
+        base: G.GaussianPool,
+        env: G.GaussianPool,
+        model_cfg: EnvGSConfig,
+        loss_cfg: LossConfig,
+        sched: ScheduleConfig,
+        dens_base: G.DensifyConfig,
+        dens_env: G.DensifyConfig,
+        lr_base: LRConfig,
+        lr_env: LRConfig,
+        exp_name: str = "exp",
+        out_root: str = "data",
+        save_latest_every: int = 5000,
+        save_every: int = 0,
+        log_every: int = 50,
+        eval_views: list[dict] | None = None,
+        eval_every_iters: int = 0,
+        seed: int = 0,
+        resume: bool = True,
+    ):
+        self.views = views
+        self.eval_views = eval_views or []
+        self.model_cfg = model_cfg
+        self.loss_cfg = loss_cfg
+        self.sched = sched
+        self.lr_base, self.lr_env = lr_base, lr_env
+        self.exp_name = exp_name
+        self.model_dir = os.path.join(out_root, "trained_model", exp_name)
+        self.result_dir = os.path.join(out_root, "result", exp_name)
+        self.save_latest_every = save_latest_every
+        self.save_every = save_every
+        self.log_every = log_every
+        self.eval_every_iters = eval_every_iters
+        self.resume = resume
+
+        cam0: Camera = views[0]["camera"]
+        self.has_norm = "norm" in views[0]
+        self.step_fn = make_train_step(
+            cam0, model_cfg, loss_cfg, lr_base, lr_env,
+            has_norm=self.has_norm,
+        )
+        self.maintain = make_maintenance(sched, dens_base, dens_env)
+        self.state = init_train_state(base, env, jax.random.PRNGKey(seed))
+        self.start_iter = 0
+        if resume:
+            latest = ckpt.find_latest(self.model_dir)
+            if latest:
+                self.state, self.start_iter = ckpt.load_checkpoint(
+                    latest, base.cap, env.cap
+                )
+                print(f"[resume] {latest} @ iter {self.start_iter}")
+
+        self._render_fn = None
+
+    def _batch(self, view) -> Batch:
+        H, W = view["camera"].H, view["camera"].W
+        return Batch(
+            rgb=jnp.asarray(view["rgb"]),
+            msk=jnp.asarray(view.get("msk", np.ones((H, W, 1), np.float32))),
+            norm=jnp.asarray(view.get("norm", np.zeros((H, W, 3), np.float32))),
+        )
+
+    def train(self):
+        total = self.sched.total_iters
+        smoothed = collections.defaultdict(SmoothedValue)
+        rng = np.random.default_rng(0)
+        order = rng.permutation(len(self.views))
+        oi = 0
+        t_start = time.time()
+        key = jax.random.PRNGKey(1234)
+
+        for it in range(self.start_iter, total):
+            key, mkey = jax.random.split(key)
+            self.state = self.maintain(self.state, it, mkey)
+
+            view = self.views[int(order[oi])]
+            oi += 1
+            if oi >= len(order):
+                order = rng.permutation(len(self.views))
+                oi = 0
+            cam: Camera = view["camera"]
+            self.state, stats = self.step_fn(
+                self.state, self._batch(view), cam.K, cam.R, cam.T,
+                jnp.asarray(it),
+            )
+
+            if it % self.log_every == 0 or it == total - 1:
+                stats = {k: float(v) for k, v in stats.items()}
+                for k, v in stats.items():
+                    smoothed[k].update(v)
+                done = it - self.start_iter + 1
+                eta = (time.time() - t_start) / max(done, 1) * (total - it - 1)
+                line = " ".join(
+                    f"{k}: {smoothed[k].median:.4f}"
+                    for k in ("loss", "img_loss", "psnr")
+                    if k in smoothed
+                )
+                print(
+                    f"iter {it}/{total} {line} "
+                    f"pts {int(stats.get('num_pts', 0))} "
+                    f"env {int(stats.get('env_num_pts', 0))} "
+                    f"eta {eta/60:.1f}m",
+                    flush=True,
+                )
+
+            nxt = it + 1
+            if self.save_latest_every and nxt % self.save_latest_every == 0:
+                self.save(nxt, latest_only=True)
+            if self.save_every and nxt % self.save_every == 0:
+                self.save(nxt)
+            if self.eval_every_iters and nxt % self.eval_every_iters == 0 \
+                    and self.eval_views:
+                try:
+                    self.test(save_images=False, tag=f"it{nxt}")
+                except Exception as e:  # eval must not kill training
+                    print(f"[eval error ignored] {e}")
+
+        self.save(total)
+        return self.state
+
+    def save(self, it: int, latest_only: bool = False):
+        os.makedirs(self.model_dir, exist_ok=True)
+        ckpt.save_checkpoint(
+            os.path.join(self.model_dir, "latest.npz"), self.state, it
+        )
+        if not latest_only:
+            ckpt.save_checkpoint(
+                os.path.join(self.model_dir, f"{it}.npz"), self.state, it
+            )
+        ckpt.export_ply(
+            self.state.base, os.path.join(self.model_dir, "base.ply"))
+        ckpt.export_ply(
+            self.state.env, os.path.join(self.model_dir, "env.ply"))
+
+    def render_view(self, cam: Camera, it: int | None = None):
+        if self._render_fn is None:
+            H, W = cam.H, cam.W
+
+            def _render(base, env, K, R, T, it_):
+                camera = Camera(H, W, K, R, T, cam.znear, cam.zfar)
+                return forward_envgs(
+                    base, env, camera, it_, self.model_cfg
+                )
+
+            self._render_fn = jax.jit(_render)
+        it_ = jnp.asarray(self.sched.total_iters if it is None else it)
+        return self._render_fn(
+            self.state.base, self.state.env, cam.K, cam.R, cam.T, it_
+        )
+
+    def test(self, save_images: bool = True, tag: str | None = None,
+             types=("RENDER", "DEPTH", "NORMAL", "SPECULAR", "DIFFUSE",
+                    "REFLECTION")):
+        result_dir = (
+            os.path.join(self.result_dir, tag) if tag else self.result_dir
+        )
+        ev = Evaluator(result_dir)
+        vis = Visualizer(result_dir, types=types) if save_images else None
+        for i, view in enumerate(self.eval_views or self.views):
+            cam = view["camera"]
+            t0 = time.time()
+            out = self.render_view(cam)
+            jax.block_until_ready(out.rgb_map)
+            dt = time.time() - t0
+            rgb = np.clip(np.asarray(out.rgb_map), 0, 1)
+            ev.evaluate(rgb, np.asarray(view["rgb"]),
+                        name=view.get("name", str(i)), render_time=dt)
+            if vis:
+                vis.visualize(out, np.asarray(view["rgb"]), 0, i)
+        if vis:
+            vis.summarize()
+        summary = ev.summarize()
+        print(json.dumps(summary["summary"], indent=2))
+        return summary
