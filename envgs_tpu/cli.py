@@ -183,21 +183,24 @@ def main(argv=None):
             "dataset_cfg": {"source": "synthetic", "H": 64, "W": 64,
                             "n_views": 6},
             "model_cfg": {"sampler_cfg": {
-                "pool_cap": 4096, "env_pool_cap": 4096,
-                "reflection_start_iter": 100, "pair_cap": 2 ** 15,
+                "pool_cap": 1280, "env_pool_cap": 768,
+                "reflection_start_iter": 60, "pair_cap": 2 ** 14,
                 "tracer_backend": "ref",
                 # CPU smoke uses the reference rasterizer (the interpret-mode
                 # Pallas path is minutes-per-compile on one host core)
                 "raster_backend": "pallas"
                 if __import__("jax").default_backend() != "cpu" else "ref",
             }},
-            "runner_cfg": {"epochs": 1, "ep_iter": 300, "log_interval": 25},
+            "runner_cfg": {"epochs": 1, "ep_iter": 150, "log_interval": 25,
+                           "resume": False},
         })
         runner = make_runner(cfg)
         runner.train()
         runner.test()
         return
 
+    if not a.config:
+        p.error("train/test require -c <config[,config2,...]>")
     cfg = load_config(a.config, overrides=a.opts, root=os.getcwd())
     runner = make_runner(cfg)
     if a.mode == "train":

@@ -130,7 +130,8 @@ def render_env(
     if cfg.tracer_backend == "ref":
         return trace_rays_reference(scene, ref_o, ref_d, bg)
     return tracer.trace_rays(scene, ref_o, ref_d, bg,
-                             backend=cfg.tracer_backend)
+                             backend=cfg.tracer_backend,
+                             total_pair_cap=cfg.env_pair_cap)
 
 
 def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray) -> jnp.ndarray:

@@ -39,8 +39,9 @@ def l1_reg(x):
 
 
 def cos_sim(x, y, axis=-1, eps=1e-8):
-    xn = x / jnp.clip(jnp.linalg.norm(x, axis=axis, keepdims=True), eps, None)
-    yn = y / jnp.clip(jnp.linalg.norm(y, axis=axis, keepdims=True), eps, None)
+    # smooth normalization: gradient-safe at zero vectors
+    xn = x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps * eps)
+    yn = y * jax.lax.rsqrt(jnp.sum(y * y, axis=axis, keepdims=True) + eps * eps)
     return jnp.sum(xn * yn, axis=axis)
 
 
@@ -87,7 +88,16 @@ def ssim(x, y, win_size: int = 11, sigma: float = 1.5, max_val: float = 1.0):
 
 
 def msssim(x, y, win_size: int = 11, levels: int = 5):
-    """Multi-scale SSIM with the standard level weights."""
+    """Multi-scale SSIM with the standard level weights.
+
+    Levels auto-clamp so the coarsest scale still fits the window
+    (small images would otherwise produce empty VALID convolutions)."""
+    import math
+
+    max_levels = max(
+        1, int(math.floor(math.log2(min(x.shape[0], x.shape[1]) / win_size))) + 1
+    )
+    levels = min(levels, max_levels)
     weights = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])[:levels]
     weights = weights / jnp.sum(weights)
     vals = []

@@ -151,7 +151,9 @@ def depth_to_normal(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:
     dx = xyz[2:, 1:-1] - xyz[:-2, 1:-1]
     dy = xyz[1:-1, 2:] - xyz[1:-1, :-2]
     n = jnp.cross(dx, dy)
-    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8, None)
+    # smooth normalization: flat/empty regions have n=0 and jnp.linalg.norm
+    # would emit NaN cotangents there
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-16)
     out = jnp.zeros_like(xyz)
     return out.at[1:-1, 1:-1].set(n)
 

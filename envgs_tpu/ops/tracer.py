@@ -111,54 +111,94 @@ def build_ray_tiles(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayTiles:
 
 
 def cull_and_sort(
-    tiles: RayTiles, scene: TraceScene, radius3: jnp.ndarray, pair_cap: int,
+    tiles: RayTiles, scene: TraceScene, radius3: jnp.ndarray,
+    per_tile_cap: int = 4096, tile_block: int = 256,
+    total_pair_cap: int | None = None,
 ):
-    """Cone-vs-sphere culling -> chunk-aligned sorted (tile, splat) pairs.
+    """Cone-vs-sphere culling -> chunk-aligned radially-sorted pairs.
 
-    radius3: (P,) world-space 3-sigma bounding radius per splat.
-    Returns (gauss_idx (cap,), tile_bounds (T+1,)).
+    Scales to production sizes (T~6500 tiles x P~7e5 splats): the cull runs
+    in tile blocks as (block, 3) @ (3, P) matmuls (MXU) with no (T, P, 3)
+    intermediates, and each tile's kept set is compacted + front-to-back
+    sorted in ONE `lax.top_k` over the masked radial distances — the K_cap
+    nearest kept splats per tile (farthest beyond the cap are dropped,
+    the same truncation semantics as the rasterizer's pair_cap).
+
+    Returns (gauss_idx (cap_aligned,), tile_bounds (T+1,)).
     """
     P = scene.mean.shape[0]
     T = tiles.n_tiles
-    v = scene.mean[None, :, :] - tiles.apex[:, None, :]  # (T, P, 3)
-    proj = jnp.sum(v * tiles.axis[:, None, :], axis=-1)  # (T, P)
-    d2 = jnp.sum(v * v, axis=-1)
-    axis_dist = jnp.sqrt(jnp.clip(d2 - proj * proj, 0.0, None))
-    slack = tiles.spread[:, None] + radius3[None, :]
-    hit = axis_dist <= proj * tiles.tan_half[:, None] + slack
-    near = d2 <= slack * slack  # behind/around the apex
-    keep = (hit | near) & (proj + radius3[None, :] > 0) & scene.valid[None, :]
+    K = min(per_tile_cap, P)
+    meanT = scene.mean.T  # (3, P)
+    m2 = jnp.sum(scene.mean * scene.mean, axis=-1)  # (P,)
+    validf = scene.valid
 
-    # flatten (tile-major) and compact via the capacity-padded sort
-    keepf = keep.reshape(-1)
-    tidf = jnp.repeat(jnp.arange(T, dtype=jnp.int32), P)
-    gidf = jnp.tile(jnp.arange(P, dtype=jnp.int32), T)
-    key_t = jnp.where(keepf, tidf, T)
-    # front-to-back key: RADIAL distance from the cone apex — exact per-ray
-    # order when ray origins coincide (reflected bundles have tiny origin
-    # spread), robust to direction spread unlike an axis projection
-    radial = jnp.sqrt(d2)
-    key_p = jnp.where(keepf, radial.reshape(-1), jnp.inf)
-    key_ts, _, gids = jax.lax.sort((key_t, key_p, gidf), num_keys=2)
-    key_ts = key_ts[:pair_cap] if key_ts.shape[0] > pair_cap else key_ts
-    gids = gids[:pair_cap] if gids.shape[0] > pair_cap else gids
-    npairs = key_ts.shape[0]
-    bounds = jnp.searchsorted(
-        key_ts, jnp.arange(T + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    def block_cull(args):
+        apex, axis, tan_half, spread = args  # (B, 3), (B, 3), (B,), (B,)
+        proj = axis @ meanT - jnp.sum(axis * apex, -1, keepdims=True)  # (B,P)
+        d2 = (
+            m2[None, :] - 2.0 * (apex @ meanT)
+            + jnp.sum(apex * apex, -1, keepdims=True)
+        )
+        d2 = jnp.clip(d2, 0.0, None)
+        axis_dist = jnp.sqrt(jnp.clip(d2 - proj * proj, 0.0, None))
+        slack = spread[:, None] + radius3[None, :]
+        hit = axis_dist <= proj * tan_half[:, None] + slack
+        near = d2 <= slack * slack
+        keep = (hit | near) & (proj + radius3[None, :] > 0) & validf[None, :]
+        radial = jnp.where(keep, jnp.sqrt(d2), jnp.inf)
+        # nearest-K kept splats, already sorted front-to-back
+        negr, idx = jax.lax.top_k(-radial, K)
+        return idx.astype(jnp.int32), (negr > -jnp.inf) & (negr == negr)
 
-    # chunk-align each tile's range (as in binning.bin_splats)
-    counts = bounds[1:] - bounds[:-1]
+    # pad tile count to a block multiple
+    Tp = -(-T // tile_block) * tile_block
+    pad = Tp - T
+    apex = jnp.pad(tiles.apex, ((0, pad), (0, 0)))
+    axis = jnp.pad(tiles.axis, ((0, pad), (0, 0)), constant_values=0)
+    tanh = jnp.pad(tiles.tan_half, (0, pad), constant_values=-1.0)
+    sprd = jnp.pad(tiles.spread, (0, pad), constant_values=-1e9)
+    blocks = (
+        apex.reshape(-1, tile_block, 3),
+        axis.reshape(-1, tile_block, 3),
+        tanh.reshape(-1, tile_block),
+        sprd.reshape(-1, tile_block),
+    )
+    idmat, keepmat = jax.lax.map(block_cull, blocks)
+    idmat = idmat.reshape(Tp, K)[:T]
+    keepmat = keepmat.reshape(Tp, K)[:T]
+
+    counts = jnp.sum(keepmat.astype(jnp.int32), axis=-1)  # (T,)
     padded = -(-counts // CHUNK) * CHUNK
     poffs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
-    cap_aligned = -(-(npairs + T * CHUNK) // CHUNK) * CHUNK
-    tid_c = jnp.clip(key_ts, 0, T - 1)
-    new_pos = poffs[tid_c] + (jnp.arange(npairs, dtype=jnp.int32) - bounds[tid_c])
-    new_pos = jnp.where(key_ts < T, new_pos, cap_aligned)
-    gauss_aligned = jnp.full((cap_aligned,), P, jnp.int32)
-    gauss_aligned = gauss_aligned.at[new_pos].set(gids, mode="drop")
+    cap_aligned = -(-(T * K + T * CHUNK) // CHUNK) * CHUNK
+    if total_pair_cap is not None:
+        cap_aligned = min(cap_aligned, -(-total_pair_cap // CHUNK) * CHUNK)
+        # tiles overflowing the global budget are dropped whole (their
+        # clamped range collapses to start == end)
+        poffs = jnp.where(poffs > cap_aligned, cap_aligned, poffs)
+        poffs = jax.lax.cummax(poffs)
+
+    # aligned slot j -> (tile, rank) -> idmat entry, via cummax sweeps
+    base = jnp.full((cap_aligned,), 0, jnp.int32)
+    tile_of = jax.lax.cummax(
+        base.at[poffs[:-1]].max(jnp.arange(T, dtype=jnp.int32), mode="drop")
+    )
+    pstart = jax.lax.cummax(
+        base.at[poffs[:-1]].max(poffs[:-1], mode="drop")
+    )
+    climit = jax.lax.cummax(
+        base.at[poffs[:-1]].max(counts, mode="drop")
+    )
+    j = jnp.arange(cap_aligned, dtype=jnp.int32)
+    k = j - pstart
+    valid_dst = k < climit
+    flat = jnp.clip(tile_of, 0, T - 1) * K + jnp.clip(k, 0, K - 1)
+    gauss_aligned = jnp.where(
+        valid_dst, idmat.reshape(-1)[flat], P
+    )
     return gauss_aligned, poffs
 
 
@@ -617,7 +657,8 @@ def trace_rays(
     ray_d: jnp.ndarray,
     bg_color: jnp.ndarray,
     backend: str = "tiled",
-    pair_cap: int | None = None,
+    per_tile_cap: int | None = None,
+    total_pair_cap: int | None = 2 ** 21,
 ) -> TraceOutput:
     """Tiled Pallas tracer over an (H, W) ray grid."""
     interpret = backend == "tiled_interp"
@@ -629,8 +670,11 @@ def trace_rays(
     su = 1.0 / jnp.clip(jnp.linalg.norm(scene.t_u, axis=-1), 1e-12, None)
     sv = 1.0 / jnp.clip(jnp.linalg.norm(scene.t_v, axis=-1), 1e-12, None)
     radius3 = 3.0 * jnp.maximum(su, sv)
-    cap = pair_cap or tiles.n_tiles * P  # dense default (small scenes)
-    gauss_idx, bounds = cull_and_sort(tiles, scene, radius3, cap)
+    # per-tile hit budget: full P for small scenes, else capped (nearest-K)
+    K = per_tile_cap or min(-(-P // CHUNK) * CHUNK, 4096)
+    gauss_idx, bounds = cull_and_sort(
+        tiles, scene, radius3, per_tile_cap=K, total_pair_cap=total_pair_cap
+    )
     pair_data = _pack_scene(scene, gauss_idx)
     tiles_out, wet_pairs = _blend_trace(pair_data, tiles.rays, bounds, A,
                                         interpret)

@@ -1,0 +1,109 @@
+"""WebSocket remote-render server + client.
+
+Mirrors the reference's remote rendering service
+(/root/reference/easyvolcap/runners/websocket_server.py, scripts/client.py):
+the client streams camera poses; the server renders each received camera
+with the current model state, JPEG-encodes, and streams frames back.
+
+Protocol (binary frames both ways):
+  client -> server: 4-byte header b'CAM0' + float32[3,3] K + float32[3,3] R
+                    + float32[3] T  (little-endian, C order)
+  server -> client: JPEG bytes of the rendered RGB image.
+
+Run:  python -m envgs_tpu.serve.websocket_server -c <config> [--port 8765]
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import io
+import struct
+
+import numpy as np
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 85) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.clip(np.nan_to_num(rgb) * 255, 0, 255).astype(np.uint8)
+    ).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def decode_camera(payload: bytes):
+    assert payload[:4] == b"CAM0", "bad camera frame"
+    vals = struct.unpack("<21f", payload[4:4 + 84])
+    K = np.asarray(vals[:9], np.float32).reshape(3, 3)
+    R = np.asarray(vals[9:18], np.float32).reshape(3, 3)
+    T = np.asarray(vals[18:21], np.float32)
+    return K, R, T
+
+
+def encode_camera(K, R, T) -> bytes:
+    vals = list(np.asarray(K, np.float32).ravel()) + \
+        list(np.asarray(R, np.float32).ravel()) + \
+        list(np.asarray(T, np.float32).ravel())
+    return b"CAM0" + struct.pack("<21f", *vals)
+
+
+class RenderServer:
+    """Serves renders of a trained checkpoint over websockets."""
+
+    def __init__(self, runner):
+        self.runner = runner  # envgs_tpu.train.runner.Runner
+
+    async def handle(self, ws):
+        import jax.numpy as jnp
+
+        from envgs_tpu.utils.camera import Camera
+
+        cam0 = self.runner.views[0]["camera"]
+        async for msg in ws:
+            try:
+                K, R, T = decode_camera(msg)
+            except Exception:
+                await ws.send(b"ERR bad camera")
+                continue
+            out = self.runner.render_view(
+                Camera(cam0.H, cam0.W, jnp.asarray(K), jnp.asarray(R),
+                       jnp.asarray(T), cam0.znear, cam0.zfar)
+            )
+            await ws.send(encode_jpeg(np.asarray(out.rgb_map)))
+
+    async def serve(self, host: str = "0.0.0.0", port: int = 8765):
+        import websockets
+
+        async with websockets.serve(self.handle, host, port,
+                                    max_size=2 ** 24):
+            print(f"render server listening on ws://{host}:{port}")
+            await asyncio.Future()
+
+
+async def request_frame(uri: str, K, R, T) -> np.ndarray:
+    """Client helper: send one camera, receive one frame."""
+    import websockets
+    from PIL import Image
+
+    async with websockets.connect(uri, max_size=2 ** 24) as ws:
+        await ws.send(encode_camera(K, R, T))
+        data = await ws.recv()
+        return np.asarray(Image.open(io.BytesIO(data)), np.float32) / 255.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--port", type=int, default=8765)
+    a = p.parse_args()
+
+    from envgs_tpu.cli import make_runner
+    from envgs_tpu.engine import load_config
+
+    runner = make_runner(load_config(a.config))
+    asyncio.run(RenderServer(runner).serve(port=a.port))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Runtime dataset moderators.
+
+Mirrors the reference's moderators (/root/reference/easyvolcap/runners/
+moderators.py): progressive render-ratio growth and center-crop-ratio
+schedules, expressed as pure functions of the iteration that the host loop
+uses to pick the (static-shape) resolution bucket for each step. Because XLA
+needs static shapes, ratios snap to a small set of buckets; each bucket's
+train step compiles once.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class RatioSchedule(NamedTuple):
+    """Linear ramp from ratio_start to ratio_end over [iter_start, iter_end],
+    snapped to `buckets` (DatasetRatioModerator semantics)."""
+
+    ratio_start: float = 0.25
+    ratio_end: float = 1.0
+    iter_start: int = 0
+    iter_end: int = 10000
+    buckets: tuple = (0.25, 0.5, 0.75, 1.0)
+
+    def __call__(self, it: int) -> float:
+        if it <= self.iter_start:
+            r = self.ratio_start
+        elif it >= self.iter_end:
+            r = self.ratio_end
+        else:
+            t = (it - self.iter_start) / max(self.iter_end - self.iter_start, 1)
+            r = self.ratio_start + t * (self.ratio_end - self.ratio_start)
+        # snap to nearest bucket not exceeding r (stable shapes per phase)
+        b = [x for x in self.buckets if x <= r + 1e-6]
+        return b[-1] if b else self.buckets[0]
+
+
+class CenterCropSchedule(NamedTuple):
+    """Progressive center-crop ratio (DatasetCenterCropRatioModerator)."""
+
+    crop_start: float = 0.5
+    crop_end: float = 1.0
+    iter_start: int = 0
+    iter_end: int = 5000
+    buckets: tuple = (0.5, 0.75, 1.0)
+
+    def __call__(self, it: int) -> float:
+        sched = RatioSchedule(self.crop_start, self.crop_end,
+                              self.iter_start, self.iter_end, self.buckets)
+        return sched(it)
+
+
+def resize_view(view: dict, ratio: float) -> dict:
+    """Host-side view resize to a ratio bucket (camera K rescaled)."""
+    if abs(ratio - 1.0) < 1e-6:
+        return view
+    cam = view["camera"]
+    H, W = int(cam.H * ratio) // 16 * 16, int(cam.W * ratio) // 16 * 16
+    ry, rx = H / cam.H, W / cam.W
+    import numpy as np
+
+    K = np.asarray(cam.K).copy()
+    K[0] *= rx
+    K[1] *= ry
+    out = dict(view)
+    out["camera"] = cam._replace(H=H, W=W, K=np.asarray(K))
+    for k in ("rgb", "msk", "norm"):
+        if k in view:
+            im = view[k]
+            yy = (np.linspace(0, im.shape[0] - 1, H)).astype(int)
+            xx = (np.linspace(0, im.shape[1] - 1, W)).astype(int)
+            out[k] = im[yy][:, xx]
+    return out

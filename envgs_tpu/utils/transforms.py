@@ -6,12 +6,15 @@ surfel tangent frames) with a functional JAX API.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, eps: float = 1e-8, axis: int = -1) -> jnp.ndarray:
-    """Safe L2 normalization along `axis`."""
-    return v / jnp.clip(jnp.linalg.norm(v, axis=axis, keepdims=True), eps, None)
+    """L2 normalization along `axis`, NaN-free in value AND gradient at v=0
+    (jnp.linalg.norm has a 0/0 backward at the origin; the smooth
+    sqrt(|v|^2 + eps^2) form does not)."""
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=axis, keepdims=True) + eps * eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
