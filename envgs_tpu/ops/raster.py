@@ -41,8 +41,13 @@ def _shift_tmat(prep: PreparedSplats, means2d_zero: jnp.ndarray) -> PreparedSpla
     return prep._replace(tmat=t, center_pix=c)
 
 
-def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-pair packed rows (CAP, DPAD); sentinel index P -> zeros."""
+def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray,
+                order: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Gather per-pair packed rows (CAP, DPAD); sentinel index P -> zeros.
+
+    With `order`, gauss_idx indexes the depth-sorted splat order (binning
+    contract): the packed table is permuted once (P rows) so the big pair
+    gather needs no extra indirection."""
     P = prep.depth.shape[0]
     C = prep.color.shape[-1]
     packed = jnp.concatenate(
@@ -55,6 +60,8 @@ def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=1,
     )
+    if order is not None:
+        packed = packed[order]
     packed = jnp.pad(packed, ((0, 1), (0, rp.DPAD - packed.shape[1])))
     return packed[gauss_idx]
 
@@ -80,8 +87,9 @@ def rasterize(
     Wp = -(-W // rp.TILE) * rp.TILE
     tiles_x, tiles_y = tile_dims(Hp, Wp, rp.TILE)
 
-    bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK)
-    pair_data = _pack_pairs(prep, bins.gauss_idx)
+    bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK,
+                      interpret=interpret)
+    pair_data = _pack_pairs(prep, bins.gauss_idx, bins.order)
     tiles_out, wet_pairs = rp.blend_tiles(
         pair_data, bins.tile_bounds, C, tiles_x, interpret
     )
@@ -96,13 +104,15 @@ def rasterize(
     bg = jnp.zeros((C,), jnp.float32).at[: bg_color.shape[0]].set(bg_color)
     rgb = img[:C].transpose(1, 2, 0) + trans[..., None] * bg[None, None, :]
 
-    # per-splat accumulated weights (sentinel row dropped)
+    # per-splat accumulated weights (sentinel row dropped); the segment ids
+    # are in depth order, so scatter back through the permutation
     P = prep.depth.shape[0]
-    wet = jax.ops.segment_sum(
+    wet_sorted = jax.ops.segment_sum(
         jax.lax.stop_gradient(wet_pairs),
         bins.gauss_idx,
         num_segments=P + 1,
     )[:P]
+    wet = jnp.zeros((P,), jnp.float32).at[bins.order].set(wet_sorted)
 
     return RasterOutput(
         rgb=rgb,

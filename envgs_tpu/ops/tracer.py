@@ -37,7 +37,7 @@ from envgs_tpu.ops.tracer_ref import TraceOutput, TraceScene
 
 RTILE = 16  # ray tile edge (RTILE^2 rays per tile)
 NRAY = RTILE * RTILE
-CHUNK = 32
+CHUNK = 64
 DPAD = 128  # 128-lane alignment for HBM DMA slices
 T_MIN = 1e-4  # minimum ray parameter (self-hit guard)
 
@@ -272,18 +272,30 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
     acc_ref[r["last"]:r["last"] + 1, :] = jnp.full((1, NRAY), -1.0)
     tcur[...] = jnp.ones_like(tcur)
 
+    def pair_dma(slot, c):
+        return pltpu.make_async_copy(
+            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_vmem.at[slot],
+            sem_p.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        pair_dma(0, 0).start()
+
     def chunk_body(c, _):
         alive = jnp.max(tcur[...]) >= T_CUTOFF
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            pair_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        pair_dma(jax.lax.rem(c, 2), c).wait()
 
         @pl.when(alive)
         def _():
             off = start + c * CHUNK
-            cp = pltpu.make_async_copy(
-                pair_ref.at[pl.ds(off, CHUNK), :], pair_vmem, sem_p
-            )
-            cp.start()
-            cp.wait()
-            d = pair_vmem[...]
+            d = pair_vmem[jax.lax.rem(c, 2)]
             a, amask, _cm, _G, t, _u, _v, _dn, flip, _e = _ray_splat_terms(
                 d, rays
             )
@@ -388,14 +400,27 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
         jnp.minimum(nchunks, jax.lax.div(lastmax.astype(jnp.int32) + CHUNK,
                                          CHUNK)), 0)
 
+    def pair_dma(slot, c):
+        return pltpu.make_async_copy(
+            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_vmem.at[slot],
+            sem_p.at[slot],
+        )
+
+    @pl.when(nchunks_eff > 0)
+    def _():
+        pair_dma(jax.lax.rem(nchunks_eff - 1, 2), nchunks_eff - 1).start()
+
     def chunk_body(i, _):
         c = nchunks_eff - 1 - i
         off = start + c * CHUNK
-        cp = pltpu.make_async_copy(
-            pair_ref.at[pl.ds(off, CHUNK), :], pair_vmem, sem_p)
-        cp.start()
-        cp.wait()
-        d = pair_vmem[...]
+
+        @pl.when(c - 1 >= 0)
+        def _():
+            pair_dma(jax.lax.rem(c - 1, 2), c - 1).start()
+
+        pair_dma(jax.lax.rem(c, 2), c).wait()
+        d = pair_vmem[jax.lax.rem(c, 2)]
         a, amask, clampm, G, t, u, v, dn, flip, (ex, ey, ez) = (
             _ray_splat_terms(d, rays))
         rank = ((c * CHUNK).astype(jnp.float32)
@@ -565,10 +590,10 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -620,11 +645,11 @@ def _trace_bwd(A, interpret, residuals, cotangents):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.VMEM((4, NRAY), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
