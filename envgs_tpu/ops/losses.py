@@ -57,17 +57,21 @@ def _gaussian_window(size: int, sigma: float):
 
 
 def _filter2d_sep(img, win):
-    """Separable 2D filter on (H, W, C), 'valid' padding."""
-    C = img.shape[-1]
+    """Separable 2D filter on (H, W, C), 'valid' padding.
+
+    Implemented as shifted adds: 3-channel convolutions lower to ~1%-utilized
+    MXU ops on TPU (measured seconds per SSIM backward at 1600px), while 2k
+    slice-adds are bandwidth-bound VPU work.
+    """
     k = win.shape[0]
-    x = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
-    kh = win.reshape(1, 1, k, 1)
-    kw = win.reshape(1, 1, 1, k)
-    x = jax.lax.conv_general_dilated(x, jnp.broadcast_to(kh, (1, 1, k, 1)),
-                                     (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, jnp.broadcast_to(kw, (1, 1, 1, k)),
-                                     (1, 1), "VALID")
-    return jnp.moveaxis(x[:, 0], 0, -1)
+    H, W = img.shape[0], img.shape[1]
+    out = jnp.zeros((H - k + 1, img.shape[1], img.shape[2]), img.dtype)
+    for i in range(k):
+        out = out + win[i] * img[i:H - k + 1 + i]
+    out2 = jnp.zeros((out.shape[0], W - k + 1, img.shape[2]), img.dtype)
+    for i in range(k):
+        out2 = out2 + win[i] * out[:, i:W - k + 1 + i]
+    return out2
 
 
 def ssim(x, y, win_size: int = 11, sigma: float = 1.5, max_val: float = 1.0):

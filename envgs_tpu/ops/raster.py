@@ -25,6 +25,7 @@ from envgs_tpu.ops import raster_pallas as rp
 from envgs_tpu.ops.binning import bin_splats, tile_dims
 from envgs_tpu.ops.common import PreparedSplats, prepare_splats
 from envgs_tpu.ops.raster_ref import RasterOutput, rasterize_reference
+from envgs_tpu.ops.segsum import gather_rows
 from envgs_tpu.utils.camera import Camera
 
 
@@ -63,7 +64,10 @@ def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray,
     if order is not None:
         packed = packed[order]
     packed = jnp.pad(packed, ((0, 1), (0, rp.DPAD - packed.shape[1])))
-    return packed[gauss_idx]
+    # custom-VJP gather: the transpose is a segmented-sum scan, NOT a
+    # duplicate-index scatter-add (minutes-slow on v5e)
+    interp = bool(jax.default_backend() == "cpu")
+    return gather_rows(packed, gauss_idx, P + 1, interp)
 
 
 def rasterize(

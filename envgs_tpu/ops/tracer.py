@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from envgs_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, T_CUTOFF
 from envgs_tpu.ops.raster_pallas import _cumsum_sublane
+from envgs_tpu.ops.segsum import gather_rows
 from envgs_tpu.ops.tracer_ref import TraceOutput, TraceScene
 
 RTILE = 16  # ray tile edge (RTILE^2 rays per tile)
@@ -173,9 +174,9 @@ def cull_and_sort(
     poffs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
-    cap_aligned = -(-(T * K + T * CHUNK) // CHUNK) * CHUNK
+    cap_aligned = -(-(T * K + T * CHUNK) // 1024) * 1024  # segsum granularity
     if total_pair_cap is not None:
-        cap_aligned = min(cap_aligned, -(-total_pair_cap // CHUNK) * CHUNK)
+        cap_aligned = min(cap_aligned, -(-total_pair_cap // 1024) * 1024)
         # tiles overflowing the global budget are dropped whole (their
         # clamped range collapses to start == end)
         poffs = jnp.where(poffs > cap_aligned, cap_aligned, poffs)
@@ -218,7 +219,8 @@ def _pack_scene(scene: TraceScene, gauss_idx: jnp.ndarray) -> jnp.ndarray:
         axis=1,
     )
     packed = jnp.pad(packed, ((0, 1), (0, DPAD - packed.shape[1])))
-    return packed[gauss_idx]
+    interp = bool(jax.default_backend() == "cpu")
+    return gather_rows(packed, gauss_idx, P + 1, interp)
 
 
 # ---------------------------------------------------------------------------

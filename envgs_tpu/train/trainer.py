@@ -79,7 +79,21 @@ class TrainState(NamedTuple):
     key: jax.Array
 
 
+def _canonicalize(tree):
+    """Strip weak dtypes. A weak-typed leaf (e.g. from jnp.full with a python
+    float) flips to strong after one optimizer step, changing the jit
+    signature and silently RECOMPILING the train step (~50s at scale)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.convert_element_type(
+            jnp.asarray(x), jnp.asarray(x).dtype
+        ),
+        tree,
+    )
+
+
 def init_train_state(base, env, key) -> TrainState:
+    base = _canonicalize(base)
+    env = _canonicalize(env)
     return TrainState(base, env, init_adam(base.params),
                       init_adam(env.params), key)
 
