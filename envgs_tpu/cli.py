@@ -148,6 +148,36 @@ def make_runner(cfg: Config) -> Runner:
     (views, eval_views, base, env, model_cfg, loss_cfg, sched, dens_base,
      dens_env, lr_base, lr_env) = build_from_config(cfg)
     rcfg = cfg.get("runner_cfg", {})
+
+    # OptimizableCamera residuals (configs/specs/optcam.yaml semantics)
+    from envgs_tpu.train.trainer import CamOptConfig
+
+    ccfg = cfg.get("model_cfg", {}).get("camera_cfg", {}) or {}
+    cam_opt = CamOptConfig(
+        enabled=ccfg.get("type") == "OptimizableCamera",
+        extri_lr=float(ccfg.get("extri_lr", 1e-5)),
+        intri_lr=float(ccfg.get("intri_lr", 1e-8)),
+        freeze_extri=bool(ccfg.get("freeze_extri", False)),
+        freeze_intri=bool(ccfg.get("freeze_intri", False)),
+    )
+
+    # DatasetRatioModerator schedule (runners/moderators.py:30-63 semantics)
+    from envgs_tpu.train.moderators import RatioSchedule
+
+    modcfg = rcfg.get("moderator_cfg", {}) or {}
+    ratio_sched = None
+    if modcfg.get("type") == "DatasetRatioModerator":
+        ratio_sched = RatioSchedule(
+            ratio_start=float(modcfg.get("milestone_start", 0.25)),
+            ratio_end=float(modcfg.get("milestone_end", 1.0)),
+            iter_start=int(modcfg.get("iter_start", 0)),
+            iter_end=int(modcfg.get("iter_end", 10000)),
+        )
+
+    scfg = cfg.get("model_cfg", {}).get("sampler_cfg", {})
+    patch = scfg.get("patch_size", [-1, -1])
+    patch_size = tuple(patch) if patch and patch[0] > 0 else None
+
     return Runner(
         views=views,
         eval_views=eval_views,
@@ -166,14 +196,22 @@ def make_runner(cfg: Config) -> Runner:
         log_every=rcfg.get("log_interval", 50),
         eval_every_iters=rcfg.get("eval_every_iters", 0),
         resume=rcfg.get("resume", True),
+        cam_opt=cam_opt,
+        ratio_sched=ratio_sched,
+        patch_size=patch_size,
     )
 
 
 def main(argv=None):
     p = argparse.ArgumentParser("envgs_tpu")
-    p.add_argument("mode", choices=["train", "test", "smoke"])
+    p.add_argument("mode", choices=["train", "test", "render", "smoke"])
     p.add_argument("-c", "--config", default=None,
                    help="comma-separated config chain")
+    p.add_argument("--path-kind", default="orbit",
+                   choices=["orbit", "spiral", "linear", "cubic"],
+                   help="render mode: camera path interpolation kind")
+    p.add_argument("--path-frames", type=int, default=60,
+                   help="render mode: number of path frames")
     p.add_argument("opts", nargs="*", help="dotted overrides a.b.c=v")
     a = p.parse_args(argv)
 
@@ -206,6 +244,10 @@ def main(argv=None):
     if a.mode == "train":
         runner.train()
         runner.test()
+    elif a.mode == "render":
+        out = runner.render_path(n_frames=a.path_frames, kind=a.path_kind,
+                                 tag=a.path_kind)
+        print(f"[render] wrote {out}")
     else:
         runner.test()
 

@@ -46,6 +46,18 @@ class EnvGSConfig(NamedTuple):
     tracer_backend: str = "tiled"
     pair_cap: int = 2 ** 21
     env_pair_cap: int = 2 ** 20
+    # base pass via the surfel tracer on camera rays instead of the
+    # rasterizer (use_base_tracing + start_from_first=True contract,
+    # envgs_sampler.py:501-527 / optix_utils.py:203-235)
+    use_base_tracing: bool = False
+    # recursive specular bounces in the env pass (max_trace_depth,
+    # optix_utils.py:104-119); all shipped EnvGS configs use 0
+    max_trace_depth: int = 0
+    specular_threshold: float = 0.0
+    # reflection ray filtering (envgs_sampler.py:434-447): <=0 disables
+    specular_filtering_start_iter: int = -1
+    specular_filtering_percent: float = 0.9
+    acc_filtering_start_iter: int = -1
 
 
 def _pool_colors(pool: GaussianPool, viewdir_origin: jnp.ndarray) -> jnp.ndarray:
@@ -96,6 +108,76 @@ def render_base(
     )
 
 
+def render_base_traced(
+    pool: GaussianPool,
+    cam: Camera,
+    cfg: EnvGSConfig,
+    means3d_zero: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Base pass via the surfel tracer on camera rays (use_base_tracing).
+
+    Follows the HardwareRendering start_from_first=True contract
+    (optix_utils.py:203-235): visibility = traced weight > 0 OR in-frustum
+    projection, surface normal derived from the traced depth map. The
+    specular/roughness channels ride the tracer's aux channels."""
+    from envgs_tpu.ops.raster import depth_to_normal
+
+    xyz = pool.params.xyz
+    if means3d_zero is not None:
+        xyz = xyz + means3d_zero
+    colors = _pool_colors(pool, cam.center)
+    aux = None
+    if cfg.render_reflection:
+        aux = jnp.concatenate([pool.get_specular, pool.get_roughness], -1)
+    scene = prepare_trace_scene(
+        xyz,
+        pool.params.rotation,
+        pool.get_scaling,
+        pool.get_opacity[:, 0],
+        colors,
+        aux=aux,
+        active=pool.stats.active,
+        scale_modifier=cfg.scale_modifier,
+    )
+    o, d = get_rays(cam, z_depth=True)
+    ray_o = jnp.broadcast_to(o[None, None, :], d.shape)
+    bg = jnp.full((3,), cfg.bg_brightness, jnp.float32)
+    if cfg.tracer_backend == "ref":
+        t = trace_rays_reference(scene, ray_o, d, bg)
+    else:
+        t = tracer.trace_rays(scene, ray_o, d, bg,
+                              backend=cfg.tracer_backend,
+                              total_pair_cap=cfg.pair_cap)
+    # in-frustum projection visibility (optix_utils.py:203-213)
+    prep = prepare_splats(
+        xyz, pool.params.rotation, pool.get_scaling, pool.get_opacity[:, 0],
+        colors, cam, scale_modifier=cfg.scale_modifier,
+        active=pool.stats.active,
+    )
+    S = cfg.specular_channels if cfg.render_reflection else 0
+    spec = t.aux[..., :S] if S else None
+    rough = t.aux[..., S:S + 1] if S else None
+    alpha = t.acc[..., None]
+    depth = t.dpt[..., None]
+    surf_normal = depth_to_normal(cam, depth[..., 0])
+    surf_normal = surf_normal * jax.lax.stop_gradient(alpha)
+    return RenderOutput(
+        rgb=t.rgb,
+        specular=spec,
+        roughness=rough,
+        alpha=alpha,
+        normal_world=t.norm,
+        depth_expected=depth,
+        depth_median=jax.lax.stop_gradient(depth),
+        surf_depth=depth,
+        surf_normal=surf_normal,
+        distortion=t.dist[..., None],
+        wet=t.wet,
+        radii=prep.radius,
+        visibility=(t.wet > 0) | (prep.radius > 0),
+    )
+
+
 def reflect_rays(cam: Camera, base: RenderOutput):
     """Reflected ray grid from the base pass (envgs_sampler.py:420-455)."""
     o, d = get_rays(cam, z_depth=True)  # d NOT normalized (z-depth param)
@@ -111,27 +193,42 @@ def render_env(
     ref_d: jnp.ndarray,
     cfg: EnvGSConfig,
     env_means3d_zero: jnp.ndarray | None = None,
+    ray_mask: jnp.ndarray | None = None,
 ):
     """Trace the environment Gaussian set along reflected rays."""
     xyz = env.params.xyz
     if env_means3d_zero is not None:
         xyz = xyz + env_means3d_zero
     colors = _pool_colors_at(env, ref_o)
+    aux = None
+    if cfg.max_trace_depth > 0:
+        # recursive bounces need the env set's own specular/roughness
+        aux = jnp.concatenate([env.get_specular, env.get_roughness], -1)
     scene = prepare_trace_scene(
         xyz,
         env.params.rotation,
         env.get_scaling,
         env.get_opacity[:, 0],
         colors,
+        aux=aux,
         active=env.stats.active,
         scale_modifier=cfg.scale_modifier,
     )
     bg = jnp.full((3,), cfg.env_bg_brightness, jnp.float32)
+    if cfg.max_trace_depth > 0:
+        out, _mid = tracer.trace_rays_multibounce(
+            scene, ref_o, ref_d, bg, max_trace_depth=cfg.max_trace_depth,
+            specular_threshold=cfg.specular_threshold,
+            backend=cfg.tracer_backend, total_pair_cap=cfg.env_pair_cap,
+            ray_mask=ray_mask,
+        )
+        return out
     if cfg.tracer_backend == "ref":
         return trace_rays_reference(scene, ref_o, ref_d, bg)
     return tracer.trace_rays(scene, ref_o, ref_d, bg,
                              backend=cfg.tracer_backend,
-                             total_pair_cap=cfg.env_pair_cap)
+                             total_pair_cap=cfg.env_pair_cap,
+                             ray_mask=ray_mask)
 
 
 def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray) -> jnp.ndarray:
@@ -178,7 +275,10 @@ def forward_envgs(
     means2d_zero: jnp.ndarray | None = None,
     env_means3d_zero: jnp.ndarray | None = None,
 ) -> EnvGSOutput:
-    b = render_base(base, cam, cfg, means2d_zero)
+    if cfg.use_base_tracing:
+        b = render_base_traced(base, cam, cfg, means2d_zero)
+    else:
+        b = render_base(base, cam, cfg, means2d_zero)
     H, W = cam.H, cam.W
     spec = b.specular if b.specular is not None else jnp.zeros((H, W, 1))
     rough = b.roughness if b.roughness is not None else jnp.zeros((H, W, 1))
@@ -188,8 +288,26 @@ def forward_envgs(
         ref_o = jax.lax.stop_gradient(ref_o)
         ref_d = jax.lax.stop_gradient(ref_d)
 
+    # reflection ray filtering (envgs_sampler.py:434-447): trace only pixels
+    # above the specular quantile / solid-accumulation threshold. On TPU the
+    # mask culls whole ray tiles instead of compacting the ray list (static
+    # shapes); untraced pixels keep the base color in the composite below.
+    ref_msk = None
+    use_spec_filter = cfg.specular_filtering_start_iter > 0
+    use_acc_filter = cfg.acc_filtering_start_iter > 0
+    if use_spec_filter or use_acc_filter:
+        if use_spec_filter:
+            thresh = jnp.quantile(spec[..., 0], cfg.specular_filtering_percent)
+            msk = spec[..., 0] > thresh
+            gate = it >= cfg.specular_filtering_start_iter
+        else:
+            msk = b.alpha[..., 0] > 0.75
+            gate = it >= cfg.acc_filtering_start_iter
+        ref_msk = jnp.where(gate, msk, jnp.ones_like(msk))
+
     def with_env(_):
-        e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero)
+        e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero,
+                       ray_mask=ref_msk)
         return e.rgb, e.dpt[..., None], e.acc[..., None], e.wet, e.trans
 
     def without_env(_):
@@ -212,6 +330,9 @@ def forward_envgs(
 
     active = (it >= cfg.reflection_start_iter) & jnp.asarray(use_env)
     spec_eff = jnp.where(active, spec, jnp.zeros_like(spec))
+    if ref_msk is not None:
+        spec_eff = jnp.where(ref_msk[..., None], spec_eff,
+                             jnp.zeros_like(spec_eff))
     rgb = (1.0 - spec_eff) * b.rgb + spec_eff * env_rgb
     dif_rgb = b.rgb * (1.0 - spec)
     ref_rgb = env_rgb * spec * 2.0  # brightness-doubled visualization

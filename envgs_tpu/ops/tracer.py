@@ -34,7 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 from envgs_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, T_CUTOFF
 from envgs_tpu.ops.raster_pallas import _cumsum_sublane
 from envgs_tpu.ops.segsum import gather_rows
-from envgs_tpu.ops.tracer_ref import TraceOutput, TraceScene
+from envgs_tpu.ops.tracer_ref import (
+    TraceOutput,
+    TraceScene,
+    trace_rays_reference,
+)
 
 RTILE = 16  # ray tile edge (RTILE^2 rays per tile)
 NRAY = RTILE * RTILE
@@ -115,6 +119,7 @@ def cull_and_sort(
     tiles: RayTiles, scene: TraceScene, radius3: jnp.ndarray,
     per_tile_cap: int = 4096, tile_block: int = 256,
     total_pair_cap: int | None = None,
+    tile_mask: jnp.ndarray | None = None,
 ):
     """Cone-vs-sphere culling -> chunk-aligned radially-sorted pairs.
 
@@ -135,7 +140,7 @@ def cull_and_sort(
     validf = scene.valid
 
     def block_cull(args):
-        apex, axis, tan_half, spread = args  # (B, 3), (B, 3), (B,), (B,)
+        apex, axis, tan_half, spread, tmask = args  # (B, 3)x2, (B,)x3
         proj = axis @ meanT - jnp.sum(axis * apex, -1, keepdims=True)  # (B,P)
         d2 = (
             m2[None, :] - 2.0 * (apex @ meanT)
@@ -147,6 +152,7 @@ def cull_and_sort(
         hit = axis_dist <= proj * tan_half[:, None] + slack
         near = d2 <= slack * slack
         keep = (hit | near) & (proj + radius3[None, :] > 0) & validf[None, :]
+        keep = keep & tmask[:, None]
         radial = jnp.where(keep, jnp.sqrt(d2), jnp.inf)
         # nearest-K kept splats, already sorted front-to-back
         negr, idx = jax.lax.top_k(-radial, K)
@@ -159,11 +165,15 @@ def cull_and_sort(
     axis = jnp.pad(tiles.axis, ((0, pad), (0, 0)), constant_values=0)
     tanh = jnp.pad(tiles.tan_half, (0, pad), constant_values=-1.0)
     sprd = jnp.pad(tiles.spread, (0, pad), constant_values=-1e9)
+    if tile_mask is None:
+        tile_mask = jnp.ones((T,), bool)
+    tmsk = jnp.pad(tile_mask, (0, pad), constant_values=False)
     blocks = (
         apex.reshape(-1, tile_block, 3),
         axis.reshape(-1, tile_block, 3),
         tanh.reshape(-1, tile_block),
         sprd.reshape(-1, tile_block),
+        tmsk.reshape(-1, tile_block),
     )
     idmat, keepmat = jax.lax.map(block_cull, blocks)
     idmat = idmat.reshape(Tp, K)[:T]
@@ -686,8 +696,16 @@ def trace_rays(
     backend: str = "tiled",
     per_tile_cap: int | None = None,
     total_pair_cap: int | None = 2 ** 21,
+    ray_mask: jnp.ndarray | None = None,
 ) -> TraceOutput:
-    """Tiled Pallas tracer over an (H, W) ray grid."""
+    """Tiled Pallas tracer over an (H, W) ray grid.
+
+    ray_mask (H, W) bool: rays to actually trace (the specular/acc ray
+    filtering of envgs_sampler.py:434-447) — tiles with no masked-in ray are
+    culled whole (zero chunks), so sparse reflective regions trace at a
+    fraction of the full-frame cost. Masked-out rays inside live tiles still
+    receive (unused) blend values, matching the reference's scatter-back
+    semantics where untraced pixels keep the base color."""
     interpret = backend == "tiled_interp"
     H, W = ray_o.shape[:2]
     P = scene.mean.shape[0]
@@ -699,8 +717,19 @@ def trace_rays(
     radius3 = 3.0 * jnp.maximum(su, sv)
     # per-tile hit budget: full P for small scenes, else capped (nearest-K)
     K = per_tile_cap or min(-(-P // CHUNK) * CHUNK, 4096)
+    tile_mask = None
+    if ray_mask is not None:
+        Hp = -(-H // RTILE) * RTILE
+        Wp = -(-W // RTILE) * RTILE
+        m = jnp.pad(ray_mask.astype(bool),
+                    ((0, Hp - H), (0, Wp - W)), constant_values=False)
+        tile_mask = (
+            m.reshape(Hp // RTILE, RTILE, Wp // RTILE, RTILE)
+            .transpose(0, 2, 1, 3).reshape(tiles.n_tiles, NRAY).any(axis=1)
+        )
     gauss_idx, bounds = cull_and_sort(
-        tiles, scene, radius3, per_tile_cap=K, total_pair_cap=total_pair_cap
+        tiles, scene, radius3, per_tile_cap=K, total_pair_cap=total_pair_cap,
+        tile_mask=tile_mask,
     )
     pair_data = _pack_scene(scene, gauss_idx)
     tiles_out, wet_pairs = _blend_trace(pair_data, tiles.rays, bounds, A,
@@ -731,3 +760,64 @@ def trace_rays(
         wet=wet,
         trans=trans,
     )
+
+
+def trace_rays_multibounce(
+    scene: TraceScene,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    bg_color: jnp.ndarray,
+    max_trace_depth: int = 0,
+    specular_threshold: float = 0.0,
+    backend: str = "tiled",
+    total_pair_cap: int | None = 2 ** 21,
+    ray_mask: jnp.ndarray | None = None,
+):
+    """Recursive specular tracing (the reference's max_trace_depth>0 path,
+    optix_utils.py:104-119 + the per-bounce `mid` ray/output buffers at
+    optix_utils.py:29-37,244-265).
+
+    Each bounce b traces the current ray set, then spawns reflected rays at
+    the blended hit surface for rays whose blended specular (aux channel 0)
+    exceeds `specular_threshold` and whose hit is solid (acc > 0.5); bounce
+    colors composite back-to-front as rgb_b' = (1-s_b) rgb_b + s_b rgb_{b+1}
+    on the reflected set. Returns (composited TraceOutput of bounce 0,
+    per-bounce TraceOutput list = the `mid` buffers).
+
+    All shipped EnvGS configs use max_trace_depth=0 (gaussian2d_sampler.py:89)
+    — one trace, no recursion — so this is capability parity, not a hot path.
+    """
+    scene_has_spec = scene.aux.shape[-1] > 0
+
+    def _trace(o, d, m):
+        if backend == "ref":
+            return trace_rays_reference(scene, o, d, bg_color)
+        return trace_rays(scene, o, d, bg_color, backend=backend,
+                          total_pair_cap=total_pair_cap, ray_mask=m)
+
+    bounces = []
+    masks = []
+    o, d, m = ray_o, ray_d, ray_mask
+    for b in range(max_trace_depth + 1):
+        out = _trace(o, d, m)
+        bounces.append(out)
+        if b == max_trace_depth:
+            break
+        n = out.norm * jax.lax.rsqrt(
+            jnp.sum(out.norm * out.norm, axis=-1, keepdims=True) + 1e-12
+        )
+        d_new = d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+        o_new = o + d * out.dpt[..., None]
+        spec_b = out.aux[..., 0] if scene_has_spec else jnp.zeros_like(out.acc)
+        bounce_m = (spec_b > specular_threshold) & (out.acc > 0.5)
+        m = bounce_m if m is None else (m & bounce_m)
+        masks.append(m)
+        o, d = o_new, d_new
+
+    rgb = bounces[-1].rgb
+    for b in range(max_trace_depth - 1, -1, -1):
+        s = jnp.clip(bounces[b].aux[..., :1], 0.0, 1.0) if scene_has_spec \
+            else jnp.zeros_like(bounces[b].rgb[..., :1])
+        mixed = (1.0 - s) * bounces[b].rgb + s * rgb
+        rgb = jnp.where(masks[b][..., None], mixed, bounces[b].rgb)
+    return bounces[0]._replace(rgb=rgb), bounces

@@ -40,10 +40,13 @@ def _compact_idx(active: np.ndarray) -> np.ndarray:
     return np.nonzero(active)[0]
 
 
-def save_checkpoint(path: str, state: TrainState, it: int, keep: int = 3):
+def save_checkpoint(path: str, state: TrainState, it: int, keep: int = 3,
+                    cam_state=None):
     """Save compacted train state; rotate old epoch files."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = {"iter": np.asarray(it)}
+    if cam_state is not None:
+        arrays.update(_flatten("cam/", cam_state))
     for tag, pool, opt in (
         ("base", state.base, state.opt_base),
         ("env", state.env, state.opt_env),
@@ -78,8 +81,13 @@ def _pad(arr: np.ndarray, cap: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
-def load_checkpoint(path: str, base_cap: int, env_cap: int) -> tuple[TrainState, int]:
-    """Load into pools of the given capacities (>= saved active counts)."""
+def load_checkpoint(path: str, base_cap: int, env_cap: int,
+                    n_views: int | None = None):
+    """Load into pools of the given capacities (>= saved active counts).
+
+    Returns (state, iter) — or (state, iter, cam_state_or_None) when
+    `n_views` is given (cam_state restored only if saved with a matching
+    view count)."""
     z = np.load(path)
 
     def load_pool(tag, cap):
@@ -109,7 +117,22 @@ def load_checkpoint(path: str, base_cap: int, env_cap: int) -> tuple[TrainState,
     base, opt_base = load_pool("base", base_cap)
     env, opt_env = load_pool("env", env_cap)
     state = TrainState(base, env, opt_base, opt_env, jnp.asarray(z["key"]))
-    return state, int(z["iter"])
+    if n_views is None:
+        return state, int(z["iter"])
+    cam_state = None
+    if "cam/res/se3" in z and z["cam/res/se3"].shape[0] == n_views:
+        from envgs_tpu.models.camera_opt import CameraResiduals
+        from envgs_tpu.train.trainer import CamOptState
+
+        res = CameraResiduals(jnp.asarray(z["cam/res/se3"]),
+                              jnp.asarray(z["cam/res/intr"]))
+        mu = CameraResiduals(jnp.asarray(z["cam/opt/mu/se3"]),
+                             jnp.asarray(z["cam/opt/mu/intr"]))
+        nu = CameraResiduals(jnp.asarray(z["cam/opt/nu/se3"]),
+                             jnp.asarray(z["cam/opt/nu/intr"]))
+        cam_state = CamOptState(res, AdamState(mu, nu,
+                                               jnp.asarray(z["cam/opt/step"])))
+    return state, int(z["iter"]), cam_state
 
 
 def find_latest(model_dir: str) -> str | None:

@@ -75,7 +75,13 @@ def sparse_adam_update(
 
 def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
              max_steps=30000):
-    """Log-linear LR interpolation with optional warmup delay (jnp)."""
+    """Log-linear LR interpolation with optional warmup delay (jnp).
+
+    lr_init/lr_final are static python floats; a zero endpoint means the
+    parameter is frozen (log-space interpolation is undefined at 0 — the
+    reference's get_expon_lr_func:225-262 has the same early-out)."""
+    if lr_init <= 0.0 or lr_final <= 0.0:
+        return jnp.asarray(0.0, jnp.float32)
     step = jnp.asarray(step, jnp.float32)
     t = jnp.clip(step / max_steps, 0.0, 1.0)
     log_lerp = jnp.exp(

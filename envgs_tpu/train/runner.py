@@ -13,6 +13,7 @@ import collections
 import json
 import os
 import time
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -24,10 +25,14 @@ from envgs_tpu.train import checkpoints as ckpt
 from envgs_tpu.train.evaluator import Evaluator, Visualizer
 from envgs_tpu.train.optimizer import LRConfig
 from envgs_tpu.train.supervisor import LossConfig
+from envgs_tpu.train.moderators import RatioSchedule, resize_view
 from envgs_tpu.train.trainer import (
     Batch,
+    CamOptConfig,
+    CamOptState,
     ScheduleConfig,
     TrainState,
+    init_cam_opt,
     init_train_state,
     make_maintenance,
     make_train_step,
@@ -69,6 +74,9 @@ class Runner:
         eval_every_iters: int = 0,
         seed: int = 0,
         resume: bool = True,
+        cam_opt: CamOptConfig = CamOptConfig(),
+        ratio_sched: RatioSchedule | None = None,
+        patch_size: tuple[int, int] | None = None,
     ):
         self.views = views
         self.eval_views = eval_views or []
@@ -84,25 +92,39 @@ class Runner:
         self.log_every = log_every
         self.eval_every_iters = eval_every_iters
         self.resume = resume
+        self.cam_opt_cfg = cam_opt
+        self.ratio_sched = ratio_sched
+        self.patch_size = patch_size
 
-        cam0: Camera = views[0]["camera"]
         self.has_norm = "norm" in views[0]
-        self.step_fn = make_train_step(
-            cam0, model_cfg, loss_cfg, lr_base, lr_env,
-            has_norm=self.has_norm,
-        )
+        # train steps are compiled per static resolution (ratio buckets /
+        # patch size); the cache makes each bucket a one-time compile
+        self._step_cache: dict[tuple[int, int], Any] = {}
+        self._ratio_views: dict[float, dict[int, dict]] = {}
         self.maintain = make_maintenance(sched, dens_base, dens_env)
         self.state = init_train_state(base, env, jax.random.PRNGKey(seed))
+        self.cam_state = init_cam_opt(len(views))
         self.start_iter = 0
         if resume:
             latest = ckpt.find_latest(self.model_dir)
             if latest:
-                self.state, self.start_iter = ckpt.load_checkpoint(
-                    latest, base.cap, env.cap
+                self.state, self.start_iter, cam_state = ckpt.load_checkpoint(
+                    latest, base.cap, env.cap, n_views=len(views)
                 )
+                if cam_state is not None:
+                    self.cam_state = cam_state
                 print(f"[resume] {latest} @ iter {self.start_iter}")
 
         self._render_fn = None
+
+    def _step_fn(self, cam: Camera):
+        key = (cam.H, cam.W)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                cam, self.model_cfg, self.loss_cfg, self.lr_base, self.lr_env,
+                has_norm=self.has_norm, cam_opt=self.cam_opt_cfg,
+            )
+        return self._step_cache[key]
 
     def _batch(self, view) -> Batch:
         H, W = view["camera"].H, view["camera"].W
@@ -111,6 +133,33 @@ class Runner:
             msk=jnp.asarray(view.get("msk", np.ones((H, W, 1), np.float32))),
             norm=jnp.asarray(view.get("norm", np.zeros((H, W, 3), np.float32))),
         )
+
+    def _train_view(self, view_i: int, it: int, rng) -> tuple[dict, Camera, int]:
+        """Pick the (possibly ratio-resized / patch-cropped) training view."""
+        view = self.views[view_i]
+        if self.ratio_sched is not None:
+            ratio = self.ratio_sched(it)
+            if abs(ratio - 1.0) > 1e-6:
+                bucket = self._ratio_views.setdefault(ratio, {})
+                if view_i not in bucket:
+                    bucket[view_i] = resize_view(view, ratio)
+                view = bucket[view_i]
+        cam: Camera = view["camera"]
+        if self.patch_size is not None:
+            ph, pw = self.patch_size
+            ph, pw = min(ph, cam.H), min(pw, cam.W)
+            y0 = int(rng.integers(0, cam.H - ph + 1))
+            x0 = int(rng.integers(0, cam.W - pw + 1))
+            K = np.asarray(cam.K).copy()
+            K[0, 2] -= x0
+            K[1, 2] -= y0
+            crop = {
+                k: view[k][y0:y0 + ph, x0:x0 + pw]
+                for k in ("rgb", "msk", "norm") if k in view
+            }
+            view = dict(view, **crop)
+            cam = cam._replace(H=ph, W=pw, K=K)
+        return view, cam, view_i
 
     def train(self):
         total = self.sched.total_iters
@@ -125,16 +174,22 @@ class Runner:
             key, mkey = jax.random.split(key)
             self.state = self.maintain(self.state, it, mkey)
 
-            view = self.views[int(order[oi])]
+            view_i = int(order[oi])
             oi += 1
             if oi >= len(order):
                 order = rng.permutation(len(self.views))
                 oi = 0
-            cam: Camera = view["camera"]
-            self.state, stats = self.step_fn(
-                self.state, self._batch(view), cam.K, cam.R, cam.T,
-                jnp.asarray(it),
-            )
+            view, cam, view_i = self._train_view(view_i, it, rng)
+            if self.cam_opt_cfg.enabled:
+                self.state, self.cam_state, stats = self._step_fn(cam)(
+                    self.state, self.cam_state, self._batch(view),
+                    cam.K, cam.R, cam.T, jnp.asarray(view_i), jnp.asarray(it),
+                )
+            else:
+                self.state, stats = self._step_fn(cam)(
+                    self.state, self._batch(view),
+                    cam.K, cam.R, cam.T, jnp.asarray(it),
+                )
 
             if it % self.log_every == 0 or it == total - 1:
                 stats = {k: float(v) for k, v in stats.items()}
@@ -173,11 +228,13 @@ class Runner:
     def save(self, it: int, latest_only: bool = False):
         os.makedirs(self.model_dir, exist_ok=True)
         ckpt.save_checkpoint(
-            os.path.join(self.model_dir, "latest.npz"), self.state, it
+            os.path.join(self.model_dir, "latest.npz"), self.state, it,
+            cam_state=self.cam_state if self.cam_opt_cfg.enabled else None,
         )
         if not latest_only:
             ckpt.save_checkpoint(
-                os.path.join(self.model_dir, f"{it}.npz"), self.state, it
+                os.path.join(self.model_dir, f"{it}.npz"), self.state, it,
+                cam_state=self.cam_state if self.cam_opt_cfg.enabled else None,
             )
         ckpt.export_ply(
             self.state.base, os.path.join(self.model_dir, "base.ply"))
@@ -199,6 +256,40 @@ class Runner:
         return self._render_fn(
             self.state.base, self.state.env, cam.K, cam.R, cam.T, it_
         )
+
+    def render_path(self, n_frames: int = 60, kind: str = "orbit",
+                    tag: str = "path", types=("RENDER",), fps: int = 30):
+        """Novel-view path rendering (the reference's ORBIT/SPIRAL/CUBIC
+        inference datasets + spec configs, volumetric_video_inference_dataset
+        .py:155-163): interpolate a camera path through the training views,
+        render each frame, save PNGs and (if ffmpeg is present) an mp4."""
+        from envgs_tpu.utils.camera import camera_path_interpolate
+
+        cams = [v["camera"] for v in self.views]
+        path_cams = camera_path_interpolate(cams, n_frames, kind=kind)
+        result_dir = os.path.join(self.result_dir, tag)
+        vis = Visualizer(result_dir, types=types, save_gt=False,
+                         save_error=False)
+        for i, cam in enumerate(path_cams):
+            out = self.render_view(cam)
+            jax.block_until_ready(out.rgb_map)
+            vis.visualize(out, None, 0, i)
+        vis.summarize()
+        # optional video assembly (visualizer:374-387 semantics)
+        import shutil
+        import subprocess
+
+        if shutil.which("ffmpeg"):
+            for t in types:
+                subprocess.run(
+                    ["ffmpeg", "-y", "-loglevel", "error", "-framerate",
+                     str(fps), "-pattern_type", "glob", "-i",
+                     os.path.join(result_dir, t, "*.png"),
+                     "-pix_fmt", "yuv420p",
+                     os.path.join(result_dir, f"{t}.mp4")],
+                    check=False,
+                )
+        return result_dir
 
     def test(self, save_images: bool = True, tag: str | None = None,
              types=("RENDER", "DEPTH", "NORMAL", "SPECULAR", "DIFFUSE",

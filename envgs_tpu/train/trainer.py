@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from envgs_tpu.models import gaussians as G
+from envgs_tpu.models.camera_opt import (
+    CameraResiduals,
+    apply_residual,
+    init_camera_residuals,
+)
 from envgs_tpu.models.envgs import EnvGSConfig, EnvGSOutput, forward_envgs
 from envgs_tpu.train.optimizer import (
     AdamState,
@@ -106,6 +111,30 @@ class Batch(NamedTuple):
     norm: jnp.ndarray  # (H, W, 3) monocular prior (zeros if absent)
 
 
+class CamOptState(NamedTuple):
+    """Optimizable-camera training state (residuals + their Adam moments).
+
+    Counterpart of the reference's OptimizableCamera parameters living in
+    the main optimizer param_groups (optimizable_camera.py:153-230 +
+    configs/specs/optcam.yaml: extri lr 1e-5, intri lr 1e-8)."""
+
+    res: CameraResiduals
+    opt: AdamState
+
+
+def init_cam_opt(n_views: int) -> CamOptState:
+    res = init_camera_residuals(max(n_views, 1))
+    return CamOptState(res, init_adam(res))
+
+
+class CamOptConfig(NamedTuple):
+    enabled: bool = False
+    extri_lr: float = 1e-5
+    intri_lr: float = 1e-8
+    freeze_extri: bool = False
+    freeze_intri: bool = False
+
+
 def make_train_step(
     cam: Camera,
     model_cfg: EnvGSConfig,
@@ -115,22 +144,31 @@ def make_train_step(
     lpips_fn=None,
     donate: bool = True,
     has_norm: bool = False,
+    cam_opt: CamOptConfig = CamOptConfig(),
 ):
     """Build the jitted train step for a fixed camera resolution.
 
-    The returned step takes (state, batch, K, R, T, it): intrinsics/extrinsics
-    are traced arrays (any view works without recompiling); H/W/near/far are
+    The returned step takes (state, batch, K, R, T, it) — or, with
+    cam_opt.enabled, (state, cam_state, batch, K, R, T, view_idx, it) and
+    additionally returns the updated cam_state: the per-view SE(3)+intrinsic
+    residuals are applied inside the forward and optimized jointly
+    (OptimizableCamera semantics). Intrinsics/extrinsics/view index are
+    traced arrays (any view works without recompiling); H/W/near/far are
     static from the template camera `cam`.
     """
     H, W, znear, zfar = cam.H, cam.W, cam.znear, cam.zfar
 
-    def step(state: TrainState, batch: Batch, K, R, T, it):
-        camera = Camera(H, W, K, R, T, znear, zfar)
+    def _step_impl(state: TrainState, cam_state: CamOptState, batch: Batch,
+                   K, R, T, view_idx, it):
         base, env = state.base, state.env
-        m2z = jnp.zeros((base.cap, 2))
+        # screen-space (raster) or world-space (traced) densification grads
+        m2z = jnp.zeros((base.cap, 3 if model_cfg.use_base_tracing else 2))
         e3z = jnp.zeros((env.cap, 3))
 
-        def loss_fn(bparams, eparams, m2z, e3z):
+        def loss_fn(bparams, eparams, m2z, e3z, cres):
+            camera = Camera(H, W, K, R, T, znear, zfar)
+            if cam_opt.enabled:
+                camera = apply_residual(camera, cres, view_idx)
             b = base._replace(params=bparams)
             e = env._replace(params=eparams)
             out = forward_envgs(b, e, camera, it, model_cfg, m2z, e3z)
@@ -143,10 +181,11 @@ def make_train_step(
             )
             return loss, (out, stats)
 
+        argnums = (0, 1, 2, 3, 4) if cam_opt.enabled else (0, 1, 2, 3)
         (loss, (out, stats)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-        )(base.params, env.params, m2z, e3z)
-        g_base, g_env, g_m2z, g_e3z = grads
+            loss_fn, argnums=argnums, has_aux=True
+        )(base.params, env.params, m2z, e3z, cam_state.res)
+        g_base, g_env, g_m2z, g_e3z = grads[:4]
 
         # optimizer updates (sparse semantics: zero grads skip)
         new_bp, opt_base = sparse_adam_update(
@@ -155,6 +194,21 @@ def make_train_step(
         new_ep, opt_env = sparse_adam_update(
             env.params, g_env, state.opt_env, lr_tree_for(it, lr_env)
         )
+
+        if cam_opt.enabled:
+            g_cam: CameraResiduals = grads[4]
+            if cam_opt.freeze_extri:
+                g_cam = g_cam._replace(se3=jnp.zeros_like(g_cam.se3))
+            if cam_opt.freeze_intri:
+                g_cam = g_cam._replace(intr=jnp.zeros_like(g_cam.intr))
+            cam_lrs = CameraResiduals(
+                se3=jnp.asarray(cam_opt.extri_lr, jnp.float32),
+                intr=jnp.asarray(cam_opt.intri_lr, jnp.float32),
+            )
+            new_res, new_copt = sparse_adam_update(
+                cam_state.res, g_cam, cam_state.opt, cam_lrs, eps=1e-15
+            )
+            cam_state = CamOptState(new_res, new_copt)
 
         # densification statistics (add_densification_stats semantics)
         b_stats = G.accumulate_stats(
@@ -175,6 +229,17 @@ def make_train_step(
         stats = dict(stats)
         stats["num_pts"] = base.n_active
         stats["env_num_pts"] = env.n_active
+        return new_state, cam_state, stats
+
+    if cam_opt.enabled:
+        return jax.jit(_step_impl, donate_argnums=(0, 1) if donate else ())
+
+    dummy_cam = init_cam_opt(1)
+
+    def step(state: TrainState, batch: Batch, K, R, T, it):
+        new_state, _, stats = _step_impl(
+            state, dummy_cam, batch, K, R, T, jnp.asarray(0), it
+        )
         return new_state, stats
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,148 @@
+"""Runner wiring: camera-opt residuals, ratio moderator, patch sampling,
+novel-view paths — the host-loop features around the jitted train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envgs_tpu.models.camera_opt import apply_residual, init_camera_residuals
+from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+from envgs_tpu.models.gaussians import create_pool
+from envgs_tpu.train.moderators import RatioSchedule, resize_view
+from envgs_tpu.train.optimizer import LRConfig
+from envgs_tpu.train.supervisor import LossConfig
+from envgs_tpu.train.trainer import (
+    Batch,
+    CamOptConfig,
+    init_cam_opt,
+    init_train_state,
+    make_train_step,
+)
+from envgs_tpu.utils.camera import camera_path_interpolate, make_camera
+
+
+def _cam(H=32, W=32, f=40.0, rot_eps=0.0):
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    if rot_eps:
+        c, s = np.cos(rot_eps), np.sin(rot_eps)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32) @ R
+    return make_camera(H, W, K, R, np.zeros(3, np.float32))
+
+
+def _pools(seed=0, P=48, cap=64):
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate(
+        [rng.normal(size=(P, 2)) * 0.5, rng.random((P, 1)) * 2 + 2.0], -1
+    ).astype(np.float32)
+    base = create_pool(xyz, rng.random((P, 3)).astype(np.float32), cap=cap,
+                       sh_degree=1, init_opacity=0.6, seed=seed)
+    env = create_pool((xyz * 3).astype(np.float32),
+                      rng.random((P, 3)).astype(np.float32), cap=cap,
+                      sh_degree=1, init_opacity=0.3, seed=seed + 1)
+    return base, env
+
+
+_CFG = EnvGSConfig(
+    raster_backend="ref",
+    tracer_backend="ref",
+    pair_cap=2 ** 12,
+    env_pair_cap=2 ** 12,
+    render_reflection=False,
+    reflection_start_iter=10 ** 9,
+)
+_LOSS = LossConfig(img_loss_weight=1.0, ssim_loss_weight=0.0,
+                   gs_norm_loss_weight=0.0, norm_loss_weight=0.0,
+                   perc_loss_weight=0.0)
+
+
+def test_camera_opt_recovers_pose():
+    """A small extrinsic perturbation must be (partly) optimized away while
+    the Gaussians are frozen — validates gradient flow into the residuals."""
+    cam_gt = _cam()
+    base, env = _pools()
+    gt = forward_envgs(base, env, cam_gt, jnp.asarray(0), _CFG)
+    target = jnp.clip(gt.rgb_map, 0, 1)
+
+    cam_bad = _cam(rot_eps=0.01)  # ~0.6 degree roll error
+    lr0 = LRConfig(xyz=0.0, features_dc=0.0, features_rest=0.0, opacity=0.0,
+                   scaling=0.0, rotation=0.0, specular=0.0, roughness=0.0,
+                   xyz_lr_init=0.0, xyz_lr_final=0.0, use_opacity_pulse=False)
+    step = make_train_step(
+        cam_bad, _CFG, _LOSS, lr0, lr0, donate=False,
+        cam_opt=CamOptConfig(enabled=True, extri_lr=3e-4, intri_lr=0.0),
+    )
+    state = init_train_state(base, env, jax.random.PRNGKey(0))
+    cam_state = init_cam_opt(1)
+    batch = Batch(rgb=target, msk=jnp.ones((32, 32, 1)),
+                  norm=jnp.zeros((32, 32, 3)))
+    losses = []
+    for it in range(40):
+        state, cam_state, stats = step(
+            state, cam_state, batch, cam_bad.K, cam_bad.R, cam_bad.T,
+            jnp.asarray(0), jnp.asarray(it),
+        )
+        losses.append(float(stats["img_loss"]))
+    assert losses[-1] < 0.5 * losses[0], losses[::8]
+    assert float(jnp.abs(cam_state.res.se3).max()) > 1e-4  # residual moved
+    # intrinsics frozen at lr 0
+    np.testing.assert_allclose(np.asarray(cam_state.res.intr), 0.0)
+
+
+def test_apply_residual_identity():
+    cam = _cam()
+    res = init_camera_residuals(3)
+    out = apply_residual(cam, res, 1)
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(cam.R), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.K), np.asarray(cam.K), atol=1e-7)
+
+
+def test_ratio_schedule_buckets():
+    s = RatioSchedule(0.25, 1.0, 0, 1000, buckets=(0.25, 0.5, 0.75, 1.0))
+    assert s(0) == 0.25
+    assert s(1000) == 1.0
+    assert s(500) == 0.5
+    mids = {s(i) for i in range(0, 1001, 50)}
+    assert mids == {0.25, 0.5, 0.75, 1.0}
+
+
+def test_resize_view_rescales_camera():
+    cam = _cam(H=64, W=64)
+    view = dict(rgb=np.random.rand(64, 64, 3).astype(np.float32), camera=cam)
+    out = resize_view(view, 0.5)
+    assert out["camera"].H == 32 and out["rgb"].shape[:2] == (32, 32)
+    np.testing.assert_allclose(
+        np.asarray(out["camera"].K)[0, 0],
+        np.asarray(cam.K)[0, 0] * 32 / 64, rtol=1e-6)
+
+
+def test_patch_crop_matches_full_render():
+    """Rendering a principal-point-shifted crop camera must equal the crop
+    of the full-frame render (the patch-sampling contract)."""
+    cam = _cam(H=32, W=32)
+    base, env = _pools()
+    full = forward_envgs(base, env, cam, jnp.asarray(0), _CFG)
+    y0, x0, ph, pw = 8, 4, 16, 16
+    K = np.asarray(cam.K).copy()
+    K[0, 2] -= x0
+    K[1, 2] -= y0
+    crop_cam = cam._replace(H=ph, W=pw, K=jnp.asarray(K))
+    crop = forward_envgs(base, env, crop_cam, jnp.asarray(0), _CFG)
+    np.testing.assert_allclose(
+        np.asarray(crop.rgb_map),
+        np.asarray(full.rgb_map)[y0:y0 + ph, x0:x0 + pw],
+        atol=2e-5,
+    )
+
+
+def test_camera_path_kinds():
+    cams = [
+        _cam(rot_eps=0.1 * i)._replace(
+            T=jnp.asarray([np.sin(i), 0.2 * i, np.cos(i)], jnp.float32))
+        for i in range(4)
+    ]
+    for kind in ("orbit", "spiral", "linear"):
+        path = camera_path_interpolate(cams, 6, kind=kind)
+        assert len(path) == 6
+        for c in path:
+            R = np.asarray(c.R)
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
