@@ -42,15 +42,13 @@ def _shift_tmat(prep: PreparedSplats, means2d_zero: jnp.ndarray) -> PreparedSpla
     return prep._replace(tmat=t, center_pix=c)
 
 
-def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray,
+def _pack_table(prep: PreparedSplats,
                 order: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Gather per-pair packed rows (CAP, DPAD); sentinel index P -> zeros.
+    """Per-splat logical packed table (P+1, LO) f32; last row = sentinel 0.
 
-    With `order`, gauss_idx indexes the depth-sorted splat order (binning
-    contract): the packed table is permuted once (P rows) so the big pair
-    gather needs no extra indirection."""
+    With `order`, the table is permuted once to the depth-sorted splat order
+    (binning contract) so the per-pair gather needs no extra indirection."""
     P = prep.depth.shape[0]
-    C = prep.color.shape[-1]
     packed = jnp.concatenate(
         [
             prep.tmat.reshape(P, 9),
@@ -63,11 +61,22 @@ def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray,
     )
     if order is not None:
         packed = packed[order]
-    packed = jnp.pad(packed, ((0, 1), (0, rp.DPAD - packed.shape[1])))
+    return jnp.pad(packed, ((0, 1), (0, rp.LO - packed.shape[1])))
+
+
+def _pack_pairs(prep: PreparedSplats, gauss_idx: jnp.ndarray,
+                order: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Gather per-pair packed rows (CAP, LO) f32; sentinel index P -> zeros.
+
+    Test/profiling helper — the production path fuses this gather into
+    rp.gather_blend_tiles (split-bf16 rows, f32 gradients)."""
+    P = prep.depth.shape[0]
+    packed = _pack_table(prep, order)
     # custom-VJP gather: the transpose is a segmented-sum scan, NOT a
     # duplicate-index scatter-add (minutes-slow on v5e)
     interp = bool(jax.default_backend() == "cpu")
-    return gather_rows(packed, gauss_idx, P + 1, interp)
+    return jnp.pad(gather_rows(packed, gauss_idx, P + 1, interp),
+                   ((0, 0), (0, rp.DPAD - rp.LO)))
 
 
 def rasterize(
@@ -93,9 +102,9 @@ def rasterize(
 
     bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK,
                       interpret=interpret)
-    pair_data = _pack_pairs(prep, bins.gauss_idx, bins.order)
-    tiles_out, wet_pairs = rp.blend_tiles(
-        pair_data, bins.tile_bounds, C, tiles_x, interpret
+    packed = _pack_table(prep, bins.order)
+    tiles_out, wet_pairs = rp.gather_blend_tiles(
+        packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret
     )
 
     # decode tile blocks -> images

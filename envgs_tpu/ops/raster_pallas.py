@@ -48,14 +48,38 @@ NPIX = TILE * TILE  # 256
 CHUNK = 64  # pairs per inner step (sublane dim)
 DPAD = 128  # packed per-pair feature width (lane dim; HBM DMA slices must
 #   be 128-lane aligned, and ANY-space arrays are physically 128-wide anyway)
+LO = 32  # lane offset of the low-order bf16 block (see split-precision note)
 
-# pair_data column layout
+# pair_data LOGICAL column layout (the layout of gradients and of the f32
+# packed table; the DMA'd pair rows store each logical column twice as
+# bf16 hi @ col i and bf16 lo @ col LO+i — a two-term bf16 split giving
+# ~16-bit mantissas at HALF the HBM traffic of f32 rows. Row gathers and
+# the blend DMA are bytes-bound on v5e, so this is a straight 2x.)
 _C_TMAT = 0  # 9 floats, row-major (x-row, y-row, w-row over (u,v,1))
 _C_CX = 9
 _C_CY = 10
 _C_OPAC = 11
 _C_NRM = 12  # 3 floats
 _C_COLOR = 15  # C floats (C <= 7)
+
+
+def split_bf16(x: jnp.ndarray, width: int = DPAD) -> jnp.ndarray:
+    """(N, <=LO) f32 -> (N, width) bf16, three-term split: hi @ [0, k),
+    mid @ [LO, LO+k), lo @ [2*LO, 2*LO+k).
+
+    x == f32(hi) + f32(mid) + f32(lo) to ~2^-27 relative precision —
+    effectively f32-exact, at bf16 row width (the (N, 128) bf16 row is 256B
+    whether 22 or 66 lanes carry data, so the extra terms are free)."""
+    k = x.shape[-1]
+    assert 3 * LO <= width and k <= LO
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.zeros((*x.shape[:-1], width), jnp.bfloat16)
+    out = out.at[..., :k].set(hi)
+    out = out.at[..., LO:LO + k].set(mid)
+    return out.at[..., 2 * LO:2 * LO + k].set(lo)
 
 
 def _fout(C: int) -> int:
@@ -101,12 +125,41 @@ def _pixel_coords(t, tiles_x):
     return px, py
 
 
-def _splat_pixel_terms(d, px, py):
+def _col32(d, i):
+    """Recombine logical column i from the split-bf16 pair chunk -> f32."""
+    return (d[:, i:i + 1].astype(jnp.float32)
+            + d[:, LO + i:LO + i + 1].astype(jnp.float32)
+            + d[:, 2 * LO + i:2 * LO + i + 1].astype(jnp.float32))
+
+
+def _splat_pixel_terms(d, px, py, mode="surfel"):
     """Shared forward geometry: returns (a, amask, clampm, G, u, v, qz, z, b3).
 
-    d: (CHUNK, DPAD) packed pair chunk; px/py: (1, NPIX).
+    d: (CHUNK, DPAD) split-bf16 packed pair chunk; px/py: (1, NPIX).
+
+    mode="surfel": 2DGS ray-plane intersection through the tmat columns.
+    mode="gauss3d": 3DGS EWA conic evaluation (the diff_gauss pipeline,
+    see ops/raster3d_ref.py). Pair layout: conic(a,b,c) @ cols 0-2, view
+    depth @ col 3, center @ _C_CX/_C_CY, opacity @ _C_OPAC, colors @
+    _C_COLOR (normal cols packed zero).
     """
-    col = lambda i: d[:, i:i + 1]  # (S, 1)
+    col = lambda i: _col32(d, i)  # (S, 1) f32
+    if mode == "gauss3d":
+        ca, cb, cc = col(0), col(1), col(2)
+        z = col(3)
+        cx, cy, opac = col(_C_CX), col(_C_CY), col(_C_OPAC)
+        dx = cx - px
+        dy = cy - py
+        rho = ca * dx * dx + cc * dy * dy + 2.0 * cb * dx * dy
+        G = jnp.exp(-0.5 * jnp.maximum(rho, 0.0))
+        oG = opac * G
+        clampm = oG < ALPHA_MAX
+        a_raw = jnp.minimum(ALPHA_MAX, oG)
+        amask = (a_raw >= ALPHA_MIN) & (rho >= 0.0) & (z >= NEAR_PLANE)
+        a = jnp.where(amask, a_raw, 0.0)
+        zero = jnp.zeros_like(a)
+        return (a, amask, clampm, G, zero, zero, zero, z,
+                jnp.zeros_like(amask), dx, dy, zero, zero)
     t00, t01, t02 = col(0), col(1), col(2)
     t10, t11, t12 = col(3), col(4), col(5)
     t20, t21, t22 = col(6), col(7), col(8)
@@ -155,7 +208,7 @@ def _dmap_dz(z):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
-                pair_vmem, wet_vmem, tcur, sem_p, sem_w):
+                pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode="surfel"):
     r = _rows(C)
     t = pl.program_id(0)
     start = bounds_ref[t]
@@ -170,7 +223,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
     # double-buffered pair DMA: prefetch chunk c+1 while blending chunk c
     def pair_dma(slot, c):
         return pltpu.make_async_copy(
-            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_ref.at[pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK), :],
             pair_vmem.at[slot],
             sem_p.at[slot],
         )
@@ -193,7 +246,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             off = start + c * CHUNK
             d = pair_vmem[jax.lax.rem(c, 2)]
             (a, amask, _clampm, _G, _u, _v, _qz, z, _b3, _dx, _dy, _t20,
-             _t21) = _splat_pixel_terms(d, px, py)
+             _t21) = _splat_pixel_terms(d, px, py, mode)
 
             log_om = jnp.log1p(-a)
             cum_ex = _cumsum_sublane(log_om, CHUNK, exclusive=True)
@@ -216,10 +269,10 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
 
             for i in range(C):
-                ci = d[:, _C_COLOR + i:_C_COLOR + i + 1]
+                ci = _col32(d, _C_COLOR + i)
                 acc_ref[i:i + 1, :] += jnp.sum(w * ci, axis=0, keepdims=True)
             for i in range(3):
-                ni = d[:, _C_NRM + i:_C_NRM + i + 1]
+                ni = _col32(d, _C_NRM + i)
                 acc_ref[r["normal"] + i:r["normal"] + i + 1, :] += jnp.sum(
                     w * ni, axis=0, keepdims=True
                 )
@@ -294,7 +347,8 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
-                gpair_ref, pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g):
+                gpair_ref, pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g,
+                mode="surfel"):
     """Reverse walk emitting per-pair gradients.
 
     res_ref: (FPAD, NPIX) forward outputs (residuals).
@@ -335,7 +389,7 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
     # double-buffered pair DMA (reverse order: prefetch chunk c-1)
     def pair_dma(slot, c):
         return pltpu.make_async_copy(
-            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_ref.at[pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK), :],
             pair_vmem.at[slot],
             sem_p.at[slot],
         )
@@ -355,7 +409,7 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
         pair_dma(jax.lax.rem(c, 2), c).wait()
         d = pair_vmem[jax.lax.rem(c, 2)]
         (a, amask, clampm, G, u, v, qz, z, b3, dx, dy, t20, t21) = (
-            _splat_pixel_terms(d, px, py)
+            _splat_pixel_terms(d, px, py, mode)
         )
         rank = (
             (c * CHUNK).astype(jnp.float32)
@@ -389,10 +443,10 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
         # dL/dw
         g_w = g_alpha + g_depth * z
         for i_ in range(C):
-            ci = d[:, _C_COLOR + i_:_C_COLOR + i_ + 1]
+            ci = _col32(d, _C_COLOR + i_)
             g_w += g_ref[i_:i_ + 1, :] * ci
         for i_ in range(3):
-            ni = d[:, _C_NRM + i_:_C_NRM + i_ + 1]
+            ni = _col32(d, _C_NRM + i_)
             g_w += g_ref[r["normal"] + i_:r["normal"] + i_ + 1, :] * ni
         g_w += g_dist * (
             m * m * (A_pre + A_suf) + (D2_pre + D2_suf)
@@ -414,10 +468,45 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
         g_z = w * g_depth + g_m * _dmap_dz(z)
 
         # chain into splat geometry
-        opac = d[:, _C_OPAC:_C_OPAC + 1]
+        opac = _col32(d, _C_OPAC)
         g_G = g_a * opac * clampm
         g_opac_px = g_a * G * clampm
         g_rho = -0.5 * G * g_G
+        if mode == "gauss3d":
+            # conic/center/depth chain (rho = a dx^2 + c dy^2 + 2b dx dy,
+            # dx = cx - px); z is the constant per-splat view depth @ col 3
+            ca, cb, cc = _col32(d, 0), _col32(d, 1), _col32(d, 2)
+            red = lambda x_: jnp.sum(x_, axis=1, keepdims=True)  # (S, 1)
+            cols = [
+                red(g_rho * dx * dx),          # d/d conic_a
+                red(2.0 * g_rho * dx * dy),    # d/d conic_b
+                red(g_rho * dy * dy),          # d/d conic_c
+                red(g_z),                      # d/d depth (col 3)
+                jnp.zeros((CHUNK, 5), jnp.float32),
+                red(g_rho * (2.0 * ca * dx + 2.0 * cb * dy)),  # d/d cx
+                red(g_rho * (2.0 * cc * dy + 2.0 * cb * dx)),  # d/d cy
+                red(g_opac_px),
+                jnp.zeros((CHUNK, 3), jnp.float32),            # normal cols
+            ]
+            cols += [red(g_ref[i_:i_ + 1, :] * w) for i_ in range(C)]
+            ncols = 15 + C
+            cols.append(jnp.zeros((CHUNK, DPAD - ncols), jnp.float32))
+            gp_vmem[...] = jnp.concatenate(cols, axis=1)
+
+            gw_dma = pltpu.make_async_copy(
+                gp_vmem, gpair_ref.at[pl.ds(off, CHUNK), :], sem_g
+            )
+            gw_dma.start()
+            gw_dma.wait()
+
+            # update carries
+            suf[0:1, :] += jnp.sum(w, axis=0, keepdims=True)
+            suf[1:2, :] += jnp.sum(wm, axis=0, keepdims=True)
+            suf[2:3, :] += jnp.sum(wm2, axis=0, keepdims=True)
+            suf[3:4, :] += jnp.sum(gww, axis=0, keepdims=True)
+            tcur[...] = tcur[...] * jnp.exp(
+                -jnp.sum(log_om, axis=0, keepdims=True))
+            return 0
         b3f = b3.astype(jnp.float32) * contrib.astype(jnp.float32)
         b2f = (1.0 - b3.astype(jnp.float32)) * contrib.astype(jnp.float32)
         g_u = b3f * (2.0 * u * g_rho + g_z * t20)
@@ -429,7 +518,7 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
         g_qy = g_v / qz
         g_qzz = -(u * g_u + v * g_v) / qz
         # q = k x l  =>  g_k = l x g_q ; g_l = g_q x k
-        col = lambda i_: d[:, i_:i_ + 1]
+        col = lambda i_: _col32(d, i_)
         t00, t01, t02 = col(0), col(1), col(2)
         t10, t11, t12 = col(3), col(4), col(5)
         t20c, t21c, t22c = col(6), col(7), col(8)
@@ -505,13 +594,25 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret):
-    """pair_data (CAP, DPAD), tile_bounds (T+1,) -> (tiles (T, FPAD, NPIX), wet (CAP,))."""
-    return _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret)
+def _to_split16(pair_data):
+    """Accept either an f32 logical pair table or a pre-split bf16 one."""
+    if pair_data.dtype == jnp.bfloat16:
+        return pair_data
+    return split_bf16(pair_data[:, :LO])
 
 
-def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
+                mode="surfel"):
+    """pair_data (CAP, DPAD) f32 logical, tile_bounds (T+1,) ->
+    (tiles (T, FPAD, NPIX), wet (CAP,)). The kernels consume the split-bf16
+    form; gradients come back f32 in the logical layout."""
+    return _blend_fwd_call(_to_split16(pair_data), tile_bounds, C, tiles_x,
+                           interpret, mode)
+
+
+def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
+                    mode="surfel"):
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
     FPAD = _fpad(C)
@@ -527,7 +628,7 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NPIX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -538,7 +639,7 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
     def kernel(bounds_ref, pair_ref, out_ref, wet_ref, pair_vmem, wet_vmem,
                tcur, sem_p, sem_w):
         _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, out_ref.at[0], wet_ref,
-                    pair_vmem, wet_vmem, tcur, sem_p, sem_w)
+                    pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode)
 
     tiles_out, wet = pl.pallas_call(
         kernel,
@@ -553,13 +654,16 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret):
     return tiles_out, wet[:, :CHUNK].reshape(cap)
 
 
-def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret):
-    out = _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret)
-    return out, (pair_data, tile_bounds, out[0])
+def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret,
+               mode="surfel"):
+    pair16 = _to_split16(pair_data)
+    out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
+    return out, (pair16, tile_bounds, out[0])
 
 
-def _blend_bwd(C, tiles_x, interpret, residuals, cotangents):
+def _blend_bwd(C, tiles_x, interpret, mode, residuals, cotangents):
     pair_data, tile_bounds, tiles_out = residuals
+    pair_data = _to_split16(pair_data)
     g_tiles, _g_wet = cotangents  # wet is treated as non-differentiable
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
@@ -580,7 +684,7 @@ def _blend_bwd(C, tiles_x, interpret, residuals, cotangents):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, NPIX), jnp.float32),
             pltpu.VMEM((4, NPIX), jnp.float32),
@@ -593,7 +697,7 @@ def _blend_bwd(C, tiles_x, interpret, residuals, cotangents):
                gp_vmem, tcur, suf, sem_p, sem_g):
         _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref.at[0],
                     g_ref.at[0], gpair_ref, pair_vmem, gp_vmem, tcur, suf,
-                    sem_p, sem_g)
+                    sem_p, sem_g, mode)
 
     g_pair = pl.pallas_call(
         kernel,
@@ -606,3 +710,45 @@ def _blend_bwd(C, tiles_x, interpret, residuals, cotangents):
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused pair gather + blend (the production path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
+                       mode="surfel"):
+    """packed (S, <=LO) f32 logical table, gauss_idx (CAP,) with sentinel
+    S-1 -> (tiles (T, FPAD, NPIX), wet (CAP,)).
+
+    Fusing the per-pair row gather with the blend lets the gather move
+    split-bf16 rows (256B — row gathers are bytes-bound on v5e) while
+    gradients stay f32: the backward runs the blend's reverse kernel to
+    per-pair f32 logical gradients and transposes the gather with the
+    segmented-sum scan (ops/segsum.gather_transpose)."""
+    packed16 = split_bf16(packed)
+    pair16 = packed16[gauss_idx]
+    return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
+
+
+def _gbt_fwd(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
+             mode="surfel"):
+    packed16 = split_bf16(packed)
+    pair16 = packed16[gauss_idx]
+    out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
+    return out, (pair16, gauss_idx, tile_bounds, out[0], packed.shape)
+
+
+def _gbt_bwd(C, tiles_x, interpret, mode, residuals, cotangents):
+    pair16, gauss_idx, tile_bounds, tiles_out, pshape = residuals
+    g_pair = _blend_bwd(C, tiles_x, interpret, mode,
+                        (pair16, tile_bounds, tiles_out), cotangents)[0]
+    from envgs_tpu.ops.segsum import gather_transpose
+
+    g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
+                                interpret)[:, :pshape[1]]
+    return g_packed, None, None
+
+
+gather_blend_tiles.defvjp(_gbt_fwd, _gbt_bwd)

@@ -108,8 +108,11 @@ def _gr_fwd(packed, gauss_idx, n_segments, interpret):
     return packed[gauss_idx], (packed.shape[0], gauss_idx)
 
 
-def _gr_bwd(n_segments, interpret, res, g):
-    S, gauss_idx = res
+def gather_transpose(g, gauss_idx, n_segments: int, S: int,
+                     interpret: bool = False):
+    """Scatter-free transpose of `packed[gauss_idx]`: per-segment sums of the
+    pair-row cotangents g (N, 128) -> (S, 128) without duplicate-index
+    scatter-adds (sort + segmented-scan + unique-row gather)."""
     N = gauss_idx.shape[0]
     ids_sorted, perm = jax.lax.sort(
         (gauss_idx, jnp.arange(N, dtype=jnp.int32)), num_keys=1,
@@ -130,7 +133,12 @@ def _gr_bwd(n_segments, interpret, res, g):
         g_packed = jnp.pad(g_packed, ((0, S - g_packed.shape[0]), (0, 0)))
     else:
         g_packed = g_packed[:S]
-    return g_packed, None
+    return g_packed
+
+
+def _gr_bwd(n_segments, interpret, res, g):
+    S, gauss_idx = res
+    return gather_transpose(g, gauss_idx, n_segments, S, interpret), None
 
 
 gather_rows.defvjp(_gr_fwd, _gr_bwd)

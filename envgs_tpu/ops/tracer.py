@@ -32,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from envgs_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, T_CUTOFF
-from envgs_tpu.ops.raster_pallas import _cumsum_sublane
-from envgs_tpu.ops.segsum import gather_rows
+from envgs_tpu.ops.raster_pallas import LO, _col32, _cumsum_sublane, split_bf16
+from envgs_tpu.ops.segsum import gather_rows, gather_transpose
 from envgs_tpu.ops.tracer_ref import (
     TraceOutput,
     TraceScene,
@@ -115,48 +115,145 @@ def build_ray_tiles(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayTiles:
     return RayTiles(rays, apex, axis, tan_half, spread, T)
 
 
+def _morton3(u: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """(P, 3) coords in [0, 1] -> 30-bit Morton codes (int32)."""
+    xi = jnp.clip((u * (1 << bits)).astype(jnp.int32), 0, (1 << bits) - 1)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (
+        (spread(xi[:, 0]) << 2) | (spread(xi[:, 1]) << 1) | spread(xi[:, 2])
+    )
+
+
+class ChunkIndex(NamedTuple):
+    """Spatially-coherent splat chunking (built once per scene per frame)."""
+
+    order: jnp.ndarray  # (Pp,) sorted position -> pool index (sentinel P)
+    mean_s: jnp.ndarray  # (Pp, 3) means in Morton order
+    rad_s: jnp.ndarray  # (Pp,) 3-sigma radii in Morton order (0 if inactive)
+    cmean: jnp.ndarray  # (NC, 3) chunk sphere centers
+    crad: jnp.ndarray  # (NC,) chunk sphere radii
+    cact: jnp.ndarray  # (NC,) any active member
+
+
+def build_chunk_index(scene: TraceScene, radius3: jnp.ndarray,
+                      chunk: int = CHUNK) -> ChunkIndex:
+    """Morton-sort splats and build per-chunk bounding spheres."""
+    P = scene.mean.shape[0]
+    act = scene.valid
+    actf = act[:, None]
+    big = jnp.asarray(3.4e38, jnp.float32)
+    mlo = jnp.min(jnp.where(actf, scene.mean, big), axis=0)
+    mhi = jnp.max(jnp.where(actf, scene.mean, -big), axis=0)
+    u = (scene.mean - mlo) / jnp.maximum(mhi - mlo, 1e-6)
+    key = jnp.where(act, _morton3(jnp.clip(u, 0.0, 1.0)),
+                    jnp.asarray(2 ** 30, jnp.int32))
+    order = jnp.argsort(key).astype(jnp.int32)
+    Pp = -(-P // chunk) * chunk
+    pad = Pp - P
+    mean_s = jnp.pad(scene.mean[order], ((0, pad), (0, 0)))
+    rad_s = jnp.pad((radius3 * act)[order], (0, pad))
+    act_s = jnp.pad(act[order], (0, pad))
+    order = jnp.pad(order, (0, pad), constant_values=P)
+    order = jnp.where(act_s, order, P)  # inactive -> sentinel row
+    NC = Pp // chunk
+    mm = mean_s.reshape(NC, chunk, 3)
+    aa = act_s.reshape(NC, chunk)
+    cnt = jnp.maximum(jnp.sum(aa, axis=1), 1)[:, None]
+    cmean = jnp.sum(mm * aa[..., None], axis=1) / cnt
+    dist = jnp.linalg.norm(mm - cmean[:, None, :], axis=-1)
+    crad = jnp.max(
+        jnp.where(aa, dist + rad_s.reshape(NC, chunk), 0.0), axis=1
+    )
+    return ChunkIndex(order, mean_s, rad_s, cmean, crad, jnp.any(aa, axis=1))
+
+
 def cull_and_sort(
     tiles: RayTiles, scene: TraceScene, radius3: jnp.ndarray,
     per_tile_cap: int = 4096, tile_block: int = 256,
     total_pair_cap: int | None = None,
     tile_mask: jnp.ndarray | None = None,
 ):
-    """Cone-vs-sphere culling -> chunk-aligned radially-sorted pairs.
+    """Hierarchical cone culling -> chunk-aligned radially-sorted pairs.
 
-    Scales to production sizes (T~6500 tiles x P~7e5 splats): the cull runs
-    in tile blocks as (block, 3) @ (3, P) matmuls (MXU) with no (T, P, 3)
-    intermediates, and each tile's kept set is compacted + front-to-back
-    sorted in ONE `lax.top_k` over the masked radial distances — the K_cap
-    nearest kept splats per tile (farthest beyond the cap are dropped,
-    the same truncation semantics as the rasterizer's pair_cap).
+    Per-tile sort over all P splats is the classic bottleneck (a (tiles, P)
+    `top_k` is a full 8M-element sort per tile block — measured ~8 ms/block
+    on v5e regardless of K). Instead:
 
-    Returns (gauss_idx (cap_aligned,), tile_bounds (T+1,)).
+    1. splats are Morton-sorted once (spatially coherent chunks of CHUNK);
+    2. per tile, cone-vs-CHUNK-SPHERE culling over NC = P/CHUNK chunks and a
+       small `top_k` picks the Kc nearest chunks (front-to-back);
+    3. the <= Kc*CHUNK candidates are refined with the exact per-splat cone
+       test and sorted by radial distance from the tile apex — the same
+       per-splat front-to-back order as the flat algorithm, two orders of
+       magnitude less sort work.
+
+    The chunk sphere test is conservative (slack includes crad*(1+tan) so a
+    chunk is kept whenever any member splat passes the per-splat test);
+    dropped-beyond-Kc chunks are the farthest, the same truncation semantics
+    as the rasterizer's pair_cap.
+
+    Returns (gauss_idx (cap_aligned,) POOL indices with sentinel P,
+    tile_bounds (T+1,)).
     """
     P = scene.mean.shape[0]
     T = tiles.n_tiles
-    K = min(per_tile_cap, P)
-    meanT = scene.mean.T  # (3, P)
-    m2 = jnp.sum(scene.mean * scene.mean, axis=-1)  # (P,)
-    validf = scene.valid
+    idx = build_chunk_index(scene, radius3)
+    NC = idx.cmean.shape[0]
+    Kc = max(min(per_tile_cap // CHUNK, NC), 1)
+    C = Kc * CHUNK
+    K = C  # per-tile candidate width (downstream machinery)
+    cmeanT = idx.cmean.T  # (3, NC)
+    cm2 = jnp.sum(idx.cmean * idx.cmean, axis=-1)
+    # chunk-expanded candidate tables: gather whole chunks ((CHUNK, 4) rows)
+    cand_mean = idx.mean_s.reshape(NC, CHUNK, 3)
+    cand_rad = idx.rad_s.reshape(NC, CHUNK)
+    cand_idx = idx.order.reshape(NC, CHUNK)
 
     def block_cull(args):
         apex, axis, tan_half, spread, tmask = args  # (B, 3)x2, (B,)x3
-        proj = axis @ meanT - jnp.sum(axis * apex, -1, keepdims=True)  # (B,P)
+        B = apex.shape[0]
+        # ---- coarse: cone vs chunk spheres ----
+        proj = axis @ cmeanT - jnp.sum(axis * apex, -1, keepdims=True)
         d2 = (
-            m2[None, :] - 2.0 * (apex @ meanT)
+            cm2[None, :] - 2.0 * (apex @ cmeanT)
             + jnp.sum(apex * apex, -1, keepdims=True)
         )
         d2 = jnp.clip(d2, 0.0, None)
         axis_dist = jnp.sqrt(jnp.clip(d2 - proj * proj, 0.0, None))
-        slack = spread[:, None] + radius3[None, :]
+        slack = (spread[:, None]
+                 + idx.crad[None, :] * (1.0 + tan_half[:, None]))
         hit = axis_dist <= proj * tan_half[:, None] + slack
         near = d2 <= slack * slack
-        keep = (hit | near) & (proj + radius3[None, :] > 0) & validf[None, :]
-        keep = keep & tmask[:, None]
+        keep = (hit | near) & (proj + idx.crad[None, :] > 0)
+        keep = keep & idx.cact[None, :] & tmask[:, None]
         radial = jnp.where(keep, jnp.sqrt(d2), jnp.inf)
-        # nearest-K kept splats, already sorted front-to-back
-        negr, idx = jax.lax.top_k(-radial, K)
-        return idx.astype(jnp.int32), (negr > -jnp.inf) & (negr == negr)
+        negr, idc = jax.lax.top_k(-radial, Kc)  # (B, Kc) nearest chunks
+        cvalid = negr > -jnp.inf
+        # ---- refine: exact per-splat cone test on the candidates ----
+        cm = cand_mean[idc].reshape(B, C, 3)
+        cr = jnp.where(cvalid[:, :, None], cand_rad[idc],
+                       0.0).reshape(B, C)
+        cid = jnp.where(cvalid[:, :, None], cand_idx[idc],
+                        P).reshape(B, C)
+        rel = cm - apex[:, None, :]
+        proj_s = jnp.sum(rel * axis[:, None, :], axis=-1)
+        d2_s = jnp.sum(rel * rel, axis=-1)
+        axd_s = jnp.sqrt(jnp.clip(d2_s - proj_s * proj_s, 0.0, None))
+        slack_s = spread[:, None] + cr
+        hit_s = axd_s <= proj_s * tan_half[:, None] + slack_s
+        near_s = d2_s <= slack_s * slack_s
+        keep_s = ((hit_s | near_s) & (proj_s + cr > 0) & (cid < P)
+                  & (cr > 0))
+        rad_key = jnp.where(keep_s, jnp.sqrt(d2_s), jnp.inf)
+        _, cid_sorted = jax.lax.sort_key_val(rad_key, cid, dimension=-1)
+        return cid_sorted.astype(jnp.int32), keep_s
 
     # pad tile count to a block multiple
     Tp = -(-T // tile_block) * tile_block
@@ -213,9 +310,8 @@ def cull_and_sort(
     return gauss_aligned, poffs
 
 
-def _pack_scene(scene: TraceScene, gauss_idx: jnp.ndarray) -> jnp.ndarray:
-    P = scene.mean.shape[0]
-    A = scene.aux.shape[-1]
+def _pack_scene_table(scene: TraceScene) -> jnp.ndarray:
+    """Per-splat logical packed table (P+1, LO) f32; last row = sentinel 0."""
     packed = jnp.concatenate(
         [
             scene.mean,
@@ -228,9 +324,16 @@ def _pack_scene(scene: TraceScene, gauss_idx: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=1,
     )
-    packed = jnp.pad(packed, ((0, 1), (0, DPAD - packed.shape[1])))
+    return jnp.pad(packed, ((0, 1), (0, LO - packed.shape[1])))
+
+
+def _pack_scene(scene: TraceScene, gauss_idx: jnp.ndarray) -> jnp.ndarray:
+    """Test/profiling helper — production fuses the gather (split-bf16)."""
+    P = scene.mean.shape[0]
+    packed = _pack_scene_table(scene)
     interp = bool(jax.default_backend() == "cpu")
-    return gather_rows(packed, gauss_idx, P + 1, interp)
+    return jnp.pad(gather_rows(packed, gauss_idx, P + 1, interp),
+                   ((0, 0), (0, DPAD - LO)))
 
 
 # ---------------------------------------------------------------------------
@@ -238,11 +341,12 @@ def _pack_scene(scene: TraceScene, gauss_idx: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _ray_splat_terms(d, rays):
-    """Intersection terms for a (CHUNK, DPAD) pair chunk vs (8, NRAY) rays.
+    """Intersection terms for a (CHUNK, DPAD) split-bf16 pair chunk vs
+    (8, NRAY) rays.
 
     Returns (a, amask, clampm, G, t, u, v, dn, delta-free aux) — all
     (CHUNK, NRAY)."""
-    col = lambda i: d[:, i:i + 1]  # (S, 1)
+    col = lambda i: _col32(d, i)  # (S, 1) f32
     ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]  # (1, NRAY)
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     cx, cy, cz = col(_C_MEAN), col(_C_MEAN + 1), col(_C_MEAN + 2)
@@ -286,7 +390,7 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
 
     def pair_dma(slot, c):
         return pltpu.make_async_copy(
-            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_ref.at[pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK), :],
             pair_vmem.at[slot],
             sem_p.at[slot],
         )
@@ -329,13 +433,13 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
 
             for i in range(3):
-                ci = d[:, _C_COLOR + i:_C_COLOR + i + 1]
+                ci = _col32(d, _C_COLOR + i)
                 acc_ref[i:i + 1, :] += jnp.sum(w * ci, axis=0, keepdims=True)
-                ni = d[:, _C_N + i:_C_N + i + 1] * flip
+                ni = _col32(d, _C_N + i) * flip
                 acc_ref[r["normal"] + i:r["normal"] + i + 1, :] += jnp.sum(
                     w * ni, axis=0, keepdims=True)
             for i in range(A):
-                xi = d[:, _C_AUX + i:_C_AUX + i + 1]
+                xi = _col32(d, _C_AUX + i)
                 acc_ref[r["aux"] + i:r["aux"] + i + 1, :] += jnp.sum(
                     w * xi, axis=0, keepdims=True)
             acc_ref[r["dpt"]:r["dpt"] + 1, :] += jnp.sum(
@@ -414,7 +518,7 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
 
     def pair_dma(slot, c):
         return pltpu.make_async_copy(
-            pair_ref.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            pair_ref.at[pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK), :],
             pair_vmem.at[slot],
             sem_p.at[slot],
         )
@@ -461,12 +565,12 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
 
         g_w = g_acc + g_dpt * t
         for i_ in range(3):
-            ci = d[:, _C_COLOR + i_:_C_COLOR + i_ + 1]
+            ci = _col32(d, _C_COLOR + i_)
             g_w += g_ref[i_:i_ + 1, :] * ci
-            ni = d[:, _C_N + i_:_C_N + i_ + 1] * flip
+            ni = _col32(d, _C_N + i_) * flip
             g_w += g_ref[r["normal"] + i_:r["normal"] + i_ + 1, :] * ni
         for i_ in range(A):
-            xi = d[:, _C_AUX + i_:_C_AUX + i_ + 1]
+            xi = _col32(d, _C_AUX + i_)
             g_w += g_ref[r["aux"] + i_:r["aux"] + i_ + 1, :] * xi
         g_w += g_dist * (m * m * (A_pre + A_suf) + (D2_pre + D2_suf)
                          - 2.0 * m * (D1_pre + D1_suf))
@@ -481,14 +585,14 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
         dm_dt = 1.0 / ((1.0 + jnp.abs(t)) * (1.0 + jnp.abs(t)))
         g_t = w * g_dpt + g_m * dm_dt
 
-        opac = d[:, _C_OPAC:_C_OPAC + 1]
+        opac = _col32(d, _C_OPAC)
         g_G = g_a * opac * clampm
         g_opac_px = g_a * G * clampm
         g_rho = -0.5 * G * g_G
         g_u = 2.0 * u * g_rho
         g_v = 2.0 * v * g_rho
 
-        col = lambda i_: d[:, i_:i_ + 1]
+        col = lambda i_: _col32(d, i_)
         dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
         ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
         nx, ny, nz = col(_C_N), col(_C_N + 1), col(_C_N + 2)
@@ -579,9 +683,17 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
+def _to_split16(pair_data):
+    """Accept either an f32 logical pair table or a pre-split bf16 one."""
+    if pair_data.dtype == jnp.bfloat16:
+        return pair_data
+    return split_bf16(pair_data[:, :LO])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _blend_trace(pair_data, rays, tile_bounds, A, interpret):
-    return _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret)
+    return _trace_fwd_call(_to_split16(pair_data), rays, tile_bounds, A,
+                           interpret)
 
 
 def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
@@ -602,7 +714,7 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -629,12 +741,14 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
 
 
 def _trace_fwd(pair_data, rays, tile_bounds, A, interpret):
-    out = _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret)
-    return out, (pair_data, rays, tile_bounds, out[0])
+    pair16 = _to_split16(pair_data)
+    out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
+    return out, (pair16, rays, tile_bounds, out[0])
 
 
 def _trace_bwd(A, interpret, residuals, cotangents):
     pair_data, rays, tile_bounds, tiles_out = residuals
+    pair_data = _to_split16(pair_data)
     g_tiles, _g_wet = cotangents
     cap = pair_data.shape[0]
     T = tile_bounds.shape[0] - 1
@@ -657,7 +771,7 @@ def _trace_bwd(A, interpret, residuals, cotangents):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.VMEM((4, NRAY), jnp.float32),
@@ -686,6 +800,41 @@ def _trace_bwd(A, interpret, residuals, cotangents):
 
 
 _blend_trace.defvjp(_trace_fwd, _trace_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused pair gather + blend (the production path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, A, interpret):
+    """packed (S, <=LO) f32 logical scene table -> (tiles, wet).
+
+    Fuses the per-pair row gather with the blend: the gather moves split-bf16
+    rows (256B, bytes-bound) while gradients stay f32 — the backward runs the
+    blend's reverse kernel to per-pair f32 logical gradients and transposes
+    the gather with the segmented-sum scan (ops/segsum.gather_transpose)."""
+    pair16 = split_bf16(packed)[gauss_idx]
+    return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
+
+
+def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, A, interpret):
+    pair16 = split_bf16(packed)[gauss_idx]
+    out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
+    return out, (pair16, gauss_idx, rays, tile_bounds, out[0], packed.shape)
+
+
+def _gbt_bwd(A, interpret, residuals, cotangents):
+    pair16, gauss_idx, rays, tile_bounds, tiles_out, pshape = residuals
+    g_pair, g_rays, _ = _trace_bwd(
+        A, interpret, (pair16, rays, tile_bounds, tiles_out), cotangents
+    )
+    g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
+                                interpret)[:, :pshape[1]]
+    return g_packed, None, g_rays, None
+
+
+_gather_blend_trace.defvjp(_gbt_fwd, _gbt_bwd)
 
 
 def trace_rays(
@@ -731,9 +880,9 @@ def trace_rays(
         tiles, scene, radius3, per_tile_cap=K, total_pair_cap=total_pair_cap,
         tile_mask=tile_mask,
     )
-    pair_data = _pack_scene(scene, gauss_idx)
-    tiles_out, wet_pairs = _blend_trace(pair_data, tiles.rays, bounds, A,
-                                        interpret)
+    packed = _pack_scene_table(scene)
+    tiles_out, wet_pairs = _gather_blend_trace(packed, gauss_idx, tiles.rays,
+                                               bounds, A, interpret)
 
     r = _rows(A)
     ty = -(-H // RTILE)

@@ -49,22 +49,26 @@ bin_fn = jax.jit(lambda p: bin_splats(p, H, W, rp.TILE, CAP, align=rp.CHUNK))
 bins = timeit(bin_fn, prep, name=f"bin+sort cap={CAP}")
 print("  num_pairs:", int(bins.num_pairs))
 
-pack_fn = jax.jit(_pack_pairs)
-pd = timeit(pack_fn, prep, bins.gauss_idx, name="pack gather")
+from envgs_tpu.ops.raster import _pack_table
+
+table_fn = jax.jit(lambda p: rp.split_bf16(_pack_table(p, None)))
+packed16 = timeit(table_fn, prep, name="pack table + bf16 split (P rows)")
+
+gather_fn = jax.jit(lambda t, i: t[i])
+pd16 = timeit(gather_fn, packed16, bins.gauss_idx, name="pair gather (bf16)")
 
 tiles_x, _ = tile_dims(H, W, rp.TILE)
 blend_fn = jax.jit(
-    lambda pdata, b: rp.blend_tiles(pdata, b, 3, tiles_x, False)
+    lambda pdata, b: rp._blend_fwd_call(pdata, b, 3, tiles_x, False)
 )
-timeit(blend_fn, pd, bins.tile_bounds, name="blend fwd kernel")
+timeit(blend_fn, pd16, bins.tile_bounds, name="blend fwd kernel")
 
 # backward kernel alone
-tiles_out, wet = blend_fn(pd, bins.tile_bounds)
-g = (jnp.ones_like(tiles_out), jnp.ones_like(wet))
+tiles_out, wet = blend_fn(pd16, bins.tile_bounds)
 bwd_fn = jax.jit(
     lambda pdata, b, res, gt: rp._blend_bwd(
-        3, tiles_x, False, (pdata, b, res), (gt, None)
+        3, tiles_x, False, "surfel", (pdata, b, res), (gt, None)
     )[0]
 )
-timeit(bwd_fn, pd, bins.tile_bounds, tiles_out, jnp.ones_like(tiles_out),
+timeit(bwd_fn, pd16, bins.tile_bounds, tiles_out, jnp.ones_like(tiles_out),
        name="blend bwd kernel")

@@ -65,21 +65,29 @@ su = 1.0 / jnp.clip(jnp.linalg.norm(scene.t_u, axis=-1), 1e-12, None)
 sv = 1.0 / jnp.clip(jnp.linalg.norm(scene.t_v, axis=-1), 1e-12, None)
 radius3 = 3.0 * jnp.maximum(su, sv)
 
-cull_fn = jax.jit(lambda t, s, r: tr.cull_and_sort(
-    t, s, r, per_tile_cap=KTILE, total_pair_cap=CAP))
-gauss_idx, bounds = timeit(cull_fn, tiles, scene, radius3,
-                           name=f"cull_and_sort K={KTILE}")
+NT = int(tiles.n_tiles)  # static for jit (RayTiles.n_tiles is a python int)
+cull_fn = jax.jit(lambda rays, ap, ax, th, sp, s, r: tr.cull_and_sort(
+    tr.RayTiles(rays, ap, ax, th, sp, NT), s, r,
+    per_tile_cap=KTILE, total_pair_cap=CAP))
+gauss_idx, bounds = timeit(
+    cull_fn, tiles.rays, tiles.apex, tiles.axis, tiles.tan_half,
+    tiles.spread, scene, radius3, name=f"cull_and_sort K={KTILE}")
 print("  total pairs:", int(bounds[-1]), "/ cap", gauss_idx.shape[0])
 
-pack_fn = jax.jit(tr._pack_scene)
-pd = timeit(pack_fn, scene, gauss_idx, name="pack_scene")
+from envgs_tpu.ops.raster_pallas import split_bf16
+
+table_fn = jax.jit(lambda s: split_bf16(tr._pack_scene_table(s)))
+packed16 = timeit(table_fn, scene, name="pack table + bf16 split (P rows)")
+
+gather_fn = jax.jit(lambda t, i: t[i])
+pd16 = timeit(gather_fn, packed16, gauss_idx, name="pair gather (bf16)")
 
 fwd_fn = jax.jit(lambda p, r, b: tr._trace_fwd_call(p, r, b, 0, False))
-tiles_out, wet = timeit(fwd_fn, pd, tiles.rays, bounds, name="blend fwd")
+tiles_out, wet = timeit(fwd_fn, pd16, tiles.rays, bounds, name="blend fwd")
 
 bwd_fn = jax.jit(lambda p, r, b, res, g: tr._trace_bwd(
     0, False, (p, r, b, res), (g, None)))
-timeit(bwd_fn, pd, tiles.rays, bounds, tiles_out,
+timeit(bwd_fn, pd16, tiles.rays, bounds, tiles_out,
        jnp.ones_like(tiles_out), name="blend bwd")
 
 full_fn = jax.jit(lambda s, o, d: tr.trace_rays(
