@@ -1,0 +1,142 @@
+"""Coordinate embedders for the NeRF model family (pure JAX).
+
+TPU-native counterparts of the reference's embedder zoo
+(/root/reference/easyvolcap/models/networks/embedders/):
+
+- `positional_encoding` — PositionalEncodingEmbedder (NeRF Fourier features),
+  with the AnnealPositionalEncodingEmbedder's coarse-to-fine window.
+- `HashEmbedder` — multiresolution hash grid (iNGP; hash_embedder.py /
+  tcnn_hash_embedder.py): per-level feature tables, trilinear interpolation
+  of 8 hashed corners. Gathers are batched per level so XLA emits a few
+  large gathers instead of per-point loops.
+- `LatentCodeEmbedder` — per-frame learned latent (latent_code_embedder.py).
+- `ComposedXyztEmbedder` — xyz embedder + t embedder concatenation
+  (composed_xyzt_embedder.py).
+- `empty_embedder` / `noop_embedder` semantics come free (lambda x: x or
+  zero-width outputs).
+
+Everything is functional: `init_*` returns a param pytree, `*_apply` is
+jittable and differentiable.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def positional_encoding(x: jnp.ndarray, n_freqs: int = 10,
+                        include_input: bool = True,
+                        alpha: float | jnp.ndarray | None = None) -> jnp.ndarray:
+    """NeRF Fourier features: [x, sin(2^k x), cos(2^k x)], k < n_freqs.
+
+    `alpha` in [0, n_freqs] applies the coarse-to-fine annealing window
+    (anneal_position_encoding_embedder.py): frequency k is weighted by
+    (1 - cos(pi clamp(alpha - k, 0, 1))) / 2.
+    """
+    if n_freqs == 0:
+        return x
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    xb = x[..., None, :] * freqs[:, None]  # (..., L, D)
+    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)  # (..., L, 2D)
+    if alpha is not None:
+        k = jnp.arange(n_freqs, dtype=jnp.float32)
+        w = (1.0 - jnp.cos(
+            jnp.pi * jnp.clip(jnp.asarray(alpha, jnp.float32) - k, 0.0, 1.0)
+        )) / 2.0
+        enc = enc * w[:, None]
+    enc = enc.reshape(*x.shape[:-1], n_freqs * 2 * x.shape[-1])
+    return jnp.concatenate([x, enc], axis=-1) if include_input else enc
+
+
+def pe_dim(in_dim: int, n_freqs: int, include_input: bool = True) -> int:
+    return in_dim * (2 * n_freqs + (1 if include_input else 0))
+
+
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+
+class HashEmbedder(NamedTuple):
+    """Static config of a multiresolution hash grid."""
+
+    n_levels: int = 16
+    n_features: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    finest_resolution: int = 2048
+    bounds: tuple = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    @property
+    def resolutions(self) -> np.ndarray:
+        b = np.exp(
+            (np.log(self.finest_resolution) - np.log(self.base_resolution))
+            / max(self.n_levels - 1, 1)
+        )
+        return np.floor(
+            self.base_resolution * b ** np.arange(self.n_levels)
+        ).astype(np.int64)
+
+    def init(self, key) -> jnp.ndarray:
+        """(L, T, F) feature tables, U(-1e-4, 1e-4) like iNGP."""
+        T = 1 << self.log2_hashmap_size
+        return jax.random.uniform(
+            key, (self.n_levels, T, self.n_features), jnp.float32,
+            -1e-4, 1e-4,
+        )
+
+    def __call__(self, tables: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """x (..., 3) -> (..., L*F) trilinear hash features."""
+        T = 1 << self.log2_hashmap_size
+        lo = jnp.asarray(self.bounds[0], jnp.float32)
+        hi = jnp.asarray(self.bounds[1], jnp.float32)
+        u = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
+        shape = x.shape[:-1]
+        u = u.reshape(-1, 3)
+        feats = []
+        # 8 corner offsets
+        corners = jnp.asarray(
+            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            jnp.uint32,
+        )
+        primes = jnp.asarray(_PRIMES.astype(np.int64)).astype(jnp.uint32)
+        for li, res in enumerate(self.resolutions):
+            p = u * float(res)
+            p0 = jnp.floor(p)
+            w = p - p0  # (N, 3)
+            cell = p0.astype(jnp.uint32)[:, None, :] + corners[None, :, :]
+            idx = (cell * primes[None, None, :]).astype(jnp.uint32)
+            h = (idx[..., 0] ^ idx[..., 1] ^ idx[..., 2]) % jnp.uint32(T)
+            cf = tables[li][h.astype(jnp.int32)]  # (N, 8, F)
+            wc = jnp.stack([
+                jnp.where(corners[None, :, d] == 1, w[:, None, d],
+                          1.0 - w[:, None, d])
+                for d in range(3)
+            ], -1).prod(-1)  # (N, 8)
+            feats.append(jnp.sum(cf * wc[..., None], axis=1))  # (N, F)
+        out = jnp.concatenate(feats, axis=-1)
+        return out.reshape(*shape, self.out_dim)
+
+
+class LatentCodeEmbedder(NamedTuple):
+    """Per-frame learned latent code (latent_code_embedder.py)."""
+
+    n_codes: int = 1
+    out_dim: int = 8
+
+    def init(self, key) -> jnp.ndarray:
+        return jax.random.normal(key, (self.n_codes, self.out_dim)) * 0.01
+
+    def __call__(self, codes: jnp.ndarray, t_idx) -> jnp.ndarray:
+        return codes[jnp.asarray(t_idx, jnp.int32)]
+
+
+def composed_xyzt(xyz_feat: jnp.ndarray, t_feat: jnp.ndarray) -> jnp.ndarray:
+    """xyz + time embedding concatenation (composed_xyzt_embedder.py)."""
+    t_feat = jnp.broadcast_to(t_feat, (*xyz_feat.shape[:-1], t_feat.shape[-1]))
+    return jnp.concatenate([xyz_feat, t_feat], axis=-1)

@@ -1,0 +1,197 @@
+"""NeRF model family: ray sampling, field networks, volume rendering.
+
+TPU-native rebuild of the reference's NeRF stack:
+- UniformSampler (/root/reference/easyvolcap/models/samplers/uniform_sampler.py):
+  stratified z sampling between near/far (optionally in disparity);
+- ImportanceSampler (importance_sampler.py): hierarchical inverse-CDF
+  resampling of the coarse weights, multi-round (MultilevelNetwork);
+- VolumetricVideoNetwork (networks/volumetric_video_network.py): embedder ->
+  regressor field, evaluated on (rays, samples) batches flattened for the
+  MXU;
+- VolumeRenderer (renderers/volume_renderer.py + utils/nerf_utils.py:
+  volume_rendering): quadrature alpha compositing with weights/depth/acc.
+
+Everything is functional and jittable; the train step follows the same
+Batch-of-rays regime as the reference's n_rays=512 ray sampling
+(configs/base.yaml:79).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from envgs_tpu.models.embedders import pe_dim, positional_encoding
+from envgs_tpu.models.regressors import SplitRegressor
+
+
+def uniform_z_vals(near, far, n_samples: int, key=None,
+                   use_disparity: bool = False):
+    """Stratified z values (uniform_sampler.py::linear_sampling semantics).
+
+    near/far (...,) -> z (..., S); with a PRNG key, samples are jittered
+    within their strata (training); without, bin centers (eval)."""
+    t = jnp.linspace(0.0, 1.0, n_samples + 1)
+    lo, hi = t[:-1], t[1:]
+    if key is not None:
+        u = jax.random.uniform(key, (*near.shape, n_samples))
+    else:
+        u = jnp.full((*near.shape, n_samples), 0.5)
+    t = lo + (hi - lo) * u  # (..., S)
+    if use_disparity:
+        return 1.0 / (1.0 / jnp.maximum(near[..., None], 1e-8) * (1 - t)
+                      + 1.0 / jnp.maximum(far[..., None], 1e-8) * t)
+    return near[..., None] * (1 - t) + far[..., None] * t
+
+
+def importance_z_vals(z_vals, weights, n_samples: int, key=None,
+                      eps: float = 1e-5):
+    """Inverse-CDF resampling of interval weights (prop_utils.py:
+    importance_sampling semantics). z_vals (..., S) sorted, weights (..., S)
+    -> (..., n_samples) new z values (sorted)."""
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])  # (..., S-1)
+    w = weights[..., 1:-1] + eps  # interior intervals
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+    cdf = cdf / jnp.maximum(cdf[..., -1:], eps)  # (..., S-1)
+
+    if key is not None:
+        u = jax.random.uniform(key, (*z_vals.shape[:-1], n_samples))
+    else:
+        u = jnp.linspace(0.0, 1.0 - 1e-6, n_samples)
+        u = jnp.broadcast_to(u, (*z_vals.shape[:-1], n_samples))
+    # batched searchsorted(side="right"): count cdf entries <= u. compare_all
+    # (an (n, S-1) mask reduce) is the TPU-friendly form — no scalar scans.
+    idx = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    ) - 1
+    idx = jnp.clip(idx, 0, cdf.shape[-1] - 2)
+    c0 = jnp.take_along_axis(cdf, idx, -1)
+    c1 = jnp.take_along_axis(cdf, idx + 1, -1)
+    m0 = jnp.take_along_axis(mids, idx, -1)
+    m1 = jnp.take_along_axis(mids, jnp.clip(idx + 1, 0, mids.shape[-1] - 1), -1)
+    t = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, eps), 0.5)
+    z = m0 + t * (m1 - m0)
+    return jnp.sort(z, axis=-1)
+
+
+def volume_render(rgb, sigma, z_vals, dists_scale=None, bg_color=0.0):
+    """Quadrature compositing (utils/nerf_utils.py::volume_rendering).
+
+    rgb (..., S, 3), sigma (..., S), z_vals (..., S) ->
+    dict(rgb_map, dpt_map, acc_map, weights)."""
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], -1)
+    if dists_scale is not None:
+        deltas = deltas * dists_scale[..., None]
+    alpha = 1.0 - jnp.exp(-sigma * deltas)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+    weights = alpha * trans  # (..., S)
+    acc = jnp.sum(weights, -1)
+    rgb_map = jnp.sum(weights[..., None] * rgb, -2)
+    rgb_map = rgb_map + (1.0 - acc[..., None]) * bg_color
+    dpt = jnp.sum(weights * z_vals, -1) / jnp.maximum(acc, 1e-8)
+    return dict(rgb_map=rgb_map, dpt_map=dpt, acc_map=acc, weights=weights)
+
+
+class NerfConfig(NamedTuple):
+    """Static NeRF hyperparameters (coarse-to-fine rounds via n_samples)."""
+
+    xyz_freqs: int = 10
+    dir_freqs: int = 4
+    width: int = 256
+    depth: int = 8
+    feat_dim: int = 256
+    n_samples: tuple = (64, 64)  # per-round sample counts (importance after round 0)
+    use_disparity: bool = False
+    bg_brightness: float = 0.0
+    separate_levels: bool = False  # one network per round (MultilevelNetwork)
+
+    @property
+    def field(self) -> SplitRegressor:
+        return SplitRegressor(
+            xyz_dim=pe_dim(3, self.xyz_freqs),
+            dir_dim=pe_dim(3, self.dir_freqs),
+            width=self.width,
+            depth=self.depth,
+            feat_dim=self.feat_dim,
+        )
+
+    def init(self, key):
+        n_nets = len(self.n_samples) if self.separate_levels else 1
+        keys = jax.random.split(key, n_nets)
+        return [self.field.init(k) for k in keys]
+
+
+def eval_field(cfg: NerfConfig, params, xyz, viewdir):
+    """xyz (..., 3), viewdir (..., 3) -> (rgb (..., 3), sigma (...,))."""
+    xf = positional_encoding(xyz, cfg.xyz_freqs)
+    df = positional_encoding(viewdir, cfg.dir_freqs)
+    df = jnp.broadcast_to(df, (*xf.shape[:-1], df.shape[-1]))
+    return cfg.field(params, xf, df)
+
+
+def render_rays_nerf(cfg: NerfConfig, params_list, ray_o, ray_d, near, far,
+                     key=None):
+    """Hierarchical NeRF rendering of a ray batch.
+
+    ray_o/ray_d (P, 3) (d normalized), near/far (P,) ->
+    dict per round, final round's maps at the top level."""
+    viewdir = ray_d / jnp.clip(
+        jnp.linalg.norm(ray_d, axis=-1, keepdims=True), 1e-8, None)
+    out_all = {}
+    z_vals = None
+    weights = None
+    for rnd, n in enumerate(cfg.n_samples):
+        if key is not None:
+            key, k = jax.random.split(key)
+        else:
+            k = None
+        if rnd == 0:
+            z_vals = uniform_z_vals(near, far, n, k, cfg.use_disparity)
+        else:
+            z_new = importance_z_vals(z_vals, weights, n, k)
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_new], -1), -1)
+        params = params_list[rnd] if cfg.separate_levels else params_list[0]
+        xyz = ray_o[..., None, :] + z_vals[..., :, None] * ray_d[..., None, :]
+        rgb, sigma = eval_field(cfg, params, xyz, viewdir[..., None, :])
+        out = volume_render(rgb, sigma, z_vals,
+                            bg_color=cfg.bg_brightness)
+        weights = out["weights"]
+        out_all[f"round{rnd}"] = out
+    out_all.update(out_all[f"round{len(cfg.n_samples) - 1}"])
+    return out_all
+
+
+def make_nerf_train_step(cfg: NerfConfig, lr: float = 5e-4):
+    """Jitted Adam train step over a ray batch (rgb L2, the NeRF regime)."""
+    import optax
+
+    opt = optax.adam(lr)
+
+    def init(key):
+        params = cfg.init(key)
+        return params, opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ray_o, ray_d, near, far, target, key):
+        def loss_fn(p):
+            out = render_rays_nerf(cfg, p, ray_o, ray_d, near, far, key)
+            losses = [
+                jnp.mean((out[f"round{r}"]["rgb_map"] - target) ** 2)
+                for r in range(len(cfg.n_samples))
+            ]
+            return sum(losses), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        psnr = -10.0 * jnp.log10(
+            jnp.mean((out["rgb_map"] - target) ** 2) + 1e-10)
+        return params, opt_state, dict(loss=loss, psnr=psnr)
+
+    return init, step

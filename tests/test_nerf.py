@@ -1,0 +1,154 @@
+"""NeRF stack: embedders, regressors, sampling, volume rendering, training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envgs_tpu.models.embedders import (
+    HashEmbedder,
+    LatentCodeEmbedder,
+    composed_xyzt,
+    pe_dim,
+    positional_encoding,
+)
+from envgs_tpu.models.nerf import (
+    NerfConfig,
+    importance_z_vals,
+    make_nerf_train_step,
+    render_rays_nerf,
+    uniform_z_vals,
+    volume_render,
+)
+from envgs_tpu.models.regressors import MLP, SplitRegressor, contract
+
+
+def test_positional_encoding_shapes_and_anneal():
+    x = jnp.ones((5, 3))
+    e = positional_encoding(x, n_freqs=4)
+    assert e.shape == (5, pe_dim(3, 4))
+    # alpha=0 zeroes all frequency bands (input passthrough remains)
+    e0 = positional_encoding(x, n_freqs=4, alpha=0.0)
+    np.testing.assert_allclose(np.asarray(e0[:, 3:]), 0.0, atol=1e-7)
+    e4 = positional_encoding(x, n_freqs=4, alpha=4.0)
+    np.testing.assert_allclose(np.asarray(e4), np.asarray(e), atol=1e-6)
+
+
+def test_hash_embedder_interpolates():
+    he = HashEmbedder(n_levels=4, log2_hashmap_size=10, base_resolution=4,
+                      finest_resolution=32)
+    tables = he.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (64, 3)),
+                    jnp.float32)
+    f = he(tables, x)
+    assert f.shape == (64, he.out_dim)
+    assert np.isfinite(np.asarray(f)).all()
+    # continuity: nearby points give nearby features
+    f2 = he(tables, x + 1e-5)
+    assert float(jnp.abs(f - f2).max()) < 1e-3
+    # differentiable w.r.t. tables
+    g = jax.grad(lambda t: jnp.sum(he(t, x) ** 2))(tables)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_latent_and_composed():
+    le = LatentCodeEmbedder(n_codes=3, out_dim=4)
+    codes = le.init(jax.random.PRNGKey(0))
+    z = le(codes, 1)
+    assert z.shape == (4,)
+    xyz_feat = jnp.ones((10, 6))
+    out = composed_xyzt(xyz_feat, z)
+    assert out.shape == (10, 10)
+
+
+def test_mlp_skips_and_activation():
+    mlp = MLP(in_dim=8, width=16, depth=4, out_dim=2, skips=(2,),
+              out_actvn="sigmoid")
+    params = mlp.init(jax.random.PRNGKey(0))
+    y = mlp(params, jnp.ones((7, 8)))
+    assert y.shape == (7, 2)
+    assert (np.asarray(y) >= 0).all() and (np.asarray(y) <= 1).all()
+
+
+def test_contract_is_bounded():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(100, 3)) * 10,
+                    jnp.float32)
+    c = contract(x, radius=1.0)
+    assert float(jnp.linalg.norm(c, axis=-1).max()) < 2.0 + 1e-5
+    # identity inside the unit ball
+    xs = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-6) * 0.5
+    np.testing.assert_allclose(np.asarray(contract(xs)), np.asarray(xs),
+                               atol=1e-6)
+
+
+def test_uniform_z_vals_bounds():
+    near = jnp.full((10,), 2.0)
+    far = jnp.full((10,), 6.0)
+    z = uniform_z_vals(near, far, 32, jax.random.PRNGKey(0))
+    assert z.shape == (10, 32)
+    assert float(z.min()) >= 2.0 and float(z.max()) <= 6.0
+    assert (np.diff(np.asarray(z), axis=-1) >= 0).all()
+
+
+def test_importance_concentrates_samples():
+    z = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 64), (4, 64))
+    w = jnp.zeros((4, 64)).at[:, 30:34].set(1.0)  # peak near z ~ 0.5
+    zf = importance_z_vals(z, w, 32, jax.random.PRNGKey(1))
+    frac_near_peak = float(jnp.mean(jnp.abs(zf - 0.5) < 0.08))
+    assert frac_near_peak > 0.8, frac_near_peak
+
+
+def test_volume_render_opaque_wall():
+    # dense slab at samples 10..12 -> depth there, full acc
+    S = 32
+    z = jnp.broadcast_to(jnp.linspace(1.0, 3.0, S), (5, S))
+    sigma = jnp.zeros((5, S)).at[:, 10:13].set(1e4)
+    rgb = jnp.broadcast_to(jnp.asarray([0.2, 0.5, 0.8]), (5, S, 3))
+    out = volume_render(rgb, sigma, z)
+    np.testing.assert_allclose(np.asarray(out["acc_map"]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["rgb_map"]),
+                               [[0.2, 0.5, 0.8]] * 5, atol=1e-4)
+    d = float(z[0, 10])
+    np.testing.assert_allclose(np.asarray(out["dpt_map"]), d, atol=0.1)
+
+
+def test_nerf_overfits_tiny_batch():
+    """End-to-end: the hierarchical NeRF must overfit a toy scene's rays."""
+    cfg = NerfConfig(xyz_freqs=4, dir_freqs=2, width=32, depth=3,
+                     feat_dim=32, n_samples=(16, 16))
+    init, step = make_nerf_train_step(cfg, lr=5e-3)
+    params, opt_state = init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    P = 64
+    ray_o = jnp.zeros((P, 3))
+    d = rng.normal(size=(P, 3))
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ray_d = jnp.asarray(d, jnp.float32)
+    near = jnp.full((P,), 1.0)
+    far = jnp.full((P,), 4.0)
+    # target: color by direction (view-dependent, solvable)
+    target = jnp.asarray((d + 1) / 2, jnp.float32)
+
+    key = jax.random.PRNGKey(1)
+    psnrs = []
+    for it in range(150):
+        key, k = jax.random.split(key)
+        params, opt_state, stats = step(
+            params, opt_state, ray_o, ray_d, near, far, target, k)
+        psnrs.append(float(stats["psnr"]))
+    assert psnrs[-1] > psnrs[0] + 6.0, (psnrs[0], psnrs[-1])
+    assert psnrs[-1] > 20.0, psnrs[-1]
+
+
+def test_render_rays_deterministic_eval():
+    cfg = NerfConfig(xyz_freqs=2, dir_freqs=1, width=16, depth=2,
+                     feat_dim=16, n_samples=(8, 8))
+    params = cfg.init(jax.random.PRNGKey(0))
+    ray_o = jnp.zeros((4, 3))
+    ray_d = jnp.asarray([[0, 0, 1.0]] * 4)
+    near = jnp.full((4,), 1.0)
+    far = jnp.full((4,), 3.0)
+    a = render_rays_nerf(cfg, params, ray_o, ray_d, near, far, key=None)
+    b = render_rays_nerf(cfg, params, ray_o, ray_d, near, far, key=None)
+    np.testing.assert_allclose(np.asarray(a["rgb_map"]),
+                               np.asarray(b["rgb_map"]), atol=0)
