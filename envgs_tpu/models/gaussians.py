@@ -129,6 +129,7 @@ def create_pool(
     init_specular: float = 1e-3,
     init_roughness: float = 0.5,
     seed: int = 0,
+    scale_axes: int = 2,
 ) -> GaussianPool:
     """Build a pool from an initial point cloud (host-side numpy).
 
@@ -147,11 +148,14 @@ def create_pool(
         f_dc[:P, 0] = np.asarray(rgb2sh0(jnp.asarray(colors, jnp.float32)))
     f_rest = np.zeros((cap, K - 1, 3), np.float32)
 
-    scales = np.zeros((cap, 2), np.float32)
+    # scale_axes: 2 = surfels (2DGS), 3 = full 3D Gaussians (3DGS family)
+    scales = np.zeros((cap, scale_axes), np.float32)
     if init_scales is not None:
         scales[:P] = init_scales
     elif P > 1:
-        scales[:P] = init_scales_from_dist(xyz)
+        scales[:P] = np.repeat(
+            init_scales_from_dist(xyz)[:, :1], scale_axes, axis=-1
+        )
 
     xyz_full = np.zeros((cap, 3), np.float32)
     xyz_full[:P] = xyz
@@ -376,7 +380,10 @@ def densify_and_prune(
     # approximated here with the same N=2 machinery for shape stability.
     split_all = split_mask | weight_split_mask
     R = quat_to_rotmat(p.rotation)
-    stds3 = jnp.concatenate([scal, jnp.zeros_like(scal[:, :1])], axis=-1)
+    if scal.shape[-1] == 2:  # surfel: sample offsets in the tangent plane
+        stds3 = jnp.concatenate([scal, jnp.zeros_like(scal[:, :1])], axis=-1)
+    else:  # full 3D Gaussian
+        stds3 = scal
     denomin = cfg.split_ratio * cfg.split_n
     child_scaling = scaling_inverse(scal / denomin)
 
