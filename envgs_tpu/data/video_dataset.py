@@ -1,0 +1,188 @@
+"""Volumetric-video dataset: the temporal (frame) axis + index samplers.
+
+TPU-native counterpart of the reference's video-capable dataset/sampler
+stack (/root/reference/easyvolcap/dataloaders/datasets/
+volumetric_video_dataset.py + dataloaders/datasamplers.py):
+
+- `MultiViewVideoDataset` — (view, frame) items over an easymocap-layout
+  capture (`images/<cam>/<frame>.jpg`); `frame_sample=[begin, end, step]`
+  selects frames, items carry `t` (normalized time), `frame_index` and
+  `latent_index` (consumed by LatentCodeEmbedder-style temporal codes).
+  DDP-style FRAME sharding across hosts mirrors the reference's
+  `ims[:, rank::world_size]` split (volumetric_video_dataset.py:395-413)
+  via `frame_shard=(rank, world_size)`.
+- Index samplers (datasamplers.py): `RandomSampler`, `SequentialSampler`,
+  `IterationBasedBatchSampler` (infinite epoch-free batches up to
+  max_iter), `SameFrameBatchSampler` (all batch items share one frame),
+  `StreamSampler` (frames in order, views random within a frame — the
+  online-streaming regime).
+
+Host-side pure python/numpy; device code never sees ragged shapes.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from envgs_tpu.data.dataset import MultiViewDataset, View
+from envgs_tpu.engine import DATASAMPLERS, DATASETS
+
+
+@DATASETS.register
+class MultiViewVideoDataset(MultiViewDataset):
+    """Multi-view + multi-frame dataset (one item per (view, frame))."""
+
+    def __init__(
+        self,
+        data_root: str,
+        frame_sample: list | None = None,  # [begin, end, step]
+        frame_shard: tuple | None = None,  # (rank, world_size) frame split
+        **kwargs,
+    ):
+        super().__init__(data_root, **kwargs)
+        b, e, s = ((frame_sample or [0, None, 1]) + [None, None, None])[:3]
+
+        # re-enumerate every view's frame directory (the base class kept
+        # only one frame per view)
+        images_dir = kwargs.get("images_dir", "images")
+        masks_dir = kwargs.get("masks_dir", "masks")
+        normals_dir = kwargs.get("normals_dir", "normals")
+        vf: list[View] = []
+        frame_ids: list[int] = []
+        n_frames = 0
+        for v in self.views:
+            img_dir = os.path.dirname(v.image_path)
+            frames = sorted(os.listdir(img_dir))
+            e_v = len(frames) if e in (None, -1) else min(e, len(frames))
+            sel = list(range(b or 0, e_v, s or 1))
+            if frame_shard is not None:
+                rank, world = frame_shard
+                sel = sel[rank::world]
+            n_frames = max(n_frames, len(sel))
+            for fi, fidx in enumerate(sel):
+                fname = frames[fidx]
+                mp = os.path.join(self.data_root, masks_dir, v.name, fname)
+                np_ = os.path.join(self.data_root, normals_dir, v.name, fname)
+                vf.append(View(
+                    v.name, v.camera,
+                    os.path.join(img_dir, fname),
+                    self._fuzzy(mp) if self.use_masks else None,
+                    self._fuzzy(np_) if self.use_normals else None,
+                    v.K_orig, v.D, v.H, v.W,
+                ))
+                frame_ids.append(fi)
+        self.views = vf
+        self.frame_ids = np.asarray(frame_ids, np.int32)
+        self.n_frames = max(n_frames, 1)
+        self.n_views = len({v.name for v in vf})
+
+    def __getitem__(self, i: int) -> dict:
+        item = dict(super().__getitem__(i))
+        fi = int(self.frame_ids[i])
+        item["frame_index"] = fi
+        item["latent_index"] = fi
+        item["t"] = fi / max(self.n_frames - 1, 1)
+        return item
+
+
+# ---------------------------------------------------------------------------
+# Index samplers (datasamplers.py semantics, torch-free)
+# ---------------------------------------------------------------------------
+
+@DATASAMPLERS.register
+class SequentialSampler:
+    def __init__(self, n: int):
+        self.n = n
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(range(self.n))
+
+    def __len__(self):
+        return self.n
+
+
+@DATASAMPLERS.register
+class RandomSampler:
+    def __init__(self, n: int, seed: int = 0):
+        self.n, self.rng = n, np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self.rng.permutation(self.n).tolist())
+
+    def __len__(self):
+        return self.n
+
+
+@DATASAMPLERS.register
+class IterationBasedBatchSampler:
+    """Wrap a sampler into an infinite stream of `batch_size` batches up to
+    `max_iter` (datasamplers.py:83-104): epoch-free training."""
+
+    def __init__(self, sampler, batch_size: int = 1,
+                 max_iter: int = 10 ** 9, start_iter: int = 0):
+        self.sampler, self.batch_size = sampler, batch_size
+        self.max_iter, self.start_iter = max_iter, start_iter
+
+    def __iter__(self):
+        it = self.start_iter
+        while it < self.max_iter:
+            batch = []
+            for idx in self.sampler:
+                batch.append(idx)
+                if len(batch) == self.batch_size:
+                    yield batch
+                    batch = []
+                    it += 1
+                    if it >= self.max_iter:
+                        return
+
+    def __len__(self):
+        return self.max_iter - self.start_iter
+
+
+@DATASAMPLERS.register
+class SameFrameBatchSampler:
+    """Batches whose items all share one frame (multi-view consistency
+    training for temporal models)."""
+
+    def __init__(self, dataset: MultiViewVideoDataset, batch_size: int = 1,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.by_frame: dict[int, list[int]] = {}
+        for i, fi in enumerate(np.asarray(dataset.frame_ids)):
+            self.by_frame.setdefault(int(fi), []).append(i)
+
+    def __iter__(self):
+        frames = list(self.by_frame)
+        self.rng.shuffle(frames)
+        for f in frames:
+            idxs = self.by_frame[f]
+            sel = self.rng.choice(
+                idxs, size=min(self.batch_size, len(idxs)), replace=False
+            )
+            yield [int(x) for x in sel]
+
+    def __len__(self):
+        return len(self.by_frame)
+
+
+@DATASAMPLERS.register
+class StreamSampler:
+    """Frames strictly in order, random view within each frame (the online
+    streaming regime of dynamic capture)."""
+
+    def __init__(self, dataset: MultiViewVideoDataset, seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+        self.by_frame: dict[int, list[int]] = {}
+        for i, fi in enumerate(np.asarray(dataset.frame_ids)):
+            self.by_frame.setdefault(int(fi), []).append(i)
+
+    def __iter__(self):
+        for f in sorted(self.by_frame):
+            yield int(self.rng.choice(self.by_frame[f]))
+
+    def __len__(self):
+        return len(self.by_frame)

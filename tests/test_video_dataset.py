@@ -1,0 +1,80 @@
+"""Temporal (video) dataset + index samplers — frame axis, t emission,
+DDP-style frame sharding, and the datasamplers.py sampler semantics."""
+import os
+
+import numpy as np
+from PIL import Image
+
+from envgs_tpu.data.video_dataset import (
+    IterationBasedBatchSampler,
+    MultiViewVideoDataset,
+    RandomSampler,
+    SameFrameBatchSampler,
+    SequentialSampler,
+    StreamSampler,
+)
+from envgs_tpu.utils.easycam import write_cameras
+
+
+def _make_capture(root, n_views=3, n_frames=5, H=16, W=20):
+    rng = np.random.default_rng(0)
+    cams = {}
+    for v in range(n_views):
+        name = f"{v:02d}"
+        cams[name] = dict(
+            K=np.array([[25.0, 0, W / 2], [0, 25.0, H / 2], [0, 0, 1]]),
+            D=np.zeros((5, 1)), R=np.eye(3), T=np.zeros((3, 1)), H=H, W=W,
+        )
+        d = os.path.join(root, "images", name)
+        os.makedirs(d)
+        for f in range(n_frames):
+            arr = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{f:06d}.jpg"))
+    write_cameras(cams, root)
+    return cams
+
+
+def test_video_items_and_t(tmp_path):
+    _make_capture(str(tmp_path))
+    ds = MultiViewVideoDataset(str(tmp_path), frame_sample=[0, None, 2],
+                               eval_every=0, cache_images=False)
+    # 3 views x frames {0, 2, 4}
+    assert len(ds) == 9
+    assert ds.n_frames == 3
+    ts = sorted({round(ds[i]["t"], 3) for i in range(len(ds))})
+    assert ts == [0.0, 0.5, 1.0]
+    it = ds[0]
+    assert it["rgb"].shape == (16, 20, 3)
+    assert it["frame_index"] == it["latent_index"]
+
+
+def test_frame_sharding(tmp_path):
+    _make_capture(str(tmp_path), n_frames=6)
+    shards = []
+    for rank in range(2):
+        ds = MultiViewVideoDataset(str(tmp_path), frame_shard=(rank, 2),
+                                   eval_every=0, cache_images=False)
+        shards.append({os.path.basename(v.image_path) for v in ds.views})
+    # disjoint frame sets covering all frames (ims[:, rank::world] split)
+    assert shards[0] & shards[1] == set()
+    assert len(shards[0] | shards[1]) == 6
+
+
+def test_samplers(tmp_path):
+    _make_capture(str(tmp_path), n_views=2, n_frames=4)
+    ds = MultiViewVideoDataset(str(tmp_path), eval_every=0,
+                               cache_images=False)
+    assert sorted(SequentialSampler(len(ds))) == list(range(len(ds)))
+    assert sorted(RandomSampler(len(ds))) == list(range(len(ds)))
+
+    batches = list(IterationBasedBatchSampler(
+        RandomSampler(len(ds)), batch_size=2, max_iter=7))
+    assert len(batches) == 7 and all(len(b) == 2 for b in batches)
+
+    for b in SameFrameBatchSampler(ds, batch_size=2):
+        fis = {ds[i]["frame_index"] for i in b}
+        assert len(fis) == 1
+
+    stream = list(StreamSampler(ds))
+    frames = [ds[i]["frame_index"] for i in stream]
+    assert frames == sorted(frames) and len(frames) == 4
