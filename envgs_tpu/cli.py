@@ -199,6 +199,18 @@ def make_runner(cfg: Config) -> Runner:
         cam_opt=cam_opt,
         ratio_sched=ratio_sched,
         patch_size=patch_size,
+        # profiling (profiler_cfg semantics, scripts/wrap.py:44-56 +
+        # runner collect_timing / timer_record_to_file knobs)
+        collect_timing=bool(rcfg.get("collect_timing", False)),
+        timer_sync=bool(rcfg.get("timer_sync_cuda", False)),
+        timer_record_to_file=rcfg.get("timer_record_to_file"),
+        profiler_trace_dir=(cfg.get("profiler_cfg", {}) or {}).get(
+            "trace_dir"
+        ) if (cfg.get("profiler_cfg", {}) or {}).get("enabled") else None,
+        profiler_start=int((cfg.get("profiler_cfg", {}) or {}).get(
+            "skip_first", 10)),
+        profiler_steps=int((cfg.get("profiler_cfg", {}) or {}).get(
+            "active", 5)),
     )
 
 

@@ -77,6 +77,12 @@ class Runner:
         cam_opt: CamOptConfig = CamOptConfig(),
         ratio_sched: RatioSchedule | None = None,
         patch_size: tuple[int, int] | None = None,
+        collect_timing: bool = False,
+        timer_sync: bool = False,
+        timer_record_to_file: str | None = None,
+        profiler_trace_dir: str | None = None,
+        profiler_start: int = 10,
+        profiler_steps: int = 5,
     ):
         self.views = views
         self.eval_views = eval_views or []
@@ -116,6 +122,13 @@ class Runner:
                 print(f"[resume] {latest} @ iter {self.start_iter}")
 
         self._render_fn = None
+
+        # section timers + trace bracketing (runner:183-211 / prof_utils.py)
+        from envgs_tpu.utils.timer import ProfilerSession, Timer
+        self.timer = Timer(enabled=collect_timing, sync=timer_sync)
+        self.timer_record_to_file = timer_record_to_file
+        self.profiler = ProfilerSession(profiler_trace_dir, profiler_start,
+                                        profiler_steps)
 
     def _step_fn(self, cam: Camera):
         key = (cam.H, cam.W)
@@ -171,8 +184,11 @@ class Runner:
         key = jax.random.PRNGKey(1234)
 
         for it in range(self.start_iter, total):
+            self.profiler.step(it)
+            self.timer.tick()
             key, mkey = jax.random.split(key)
             self.state = self.maintain(self.state, it, mkey)
+            self.timer.record("maintain")
 
             view_i = int(order[oi])
             oi += 1
@@ -180,16 +196,19 @@ class Runner:
                 order = rng.permutation(len(self.views))
                 oi = 0
             view, cam, view_i = self._train_view(view_i, it, rng)
+            batch = self._batch(view)
+            self.timer.record("data")
             if self.cam_opt_cfg.enabled:
                 self.state, self.cam_state, stats = self._step_fn(cam)(
-                    self.state, self.cam_state, self._batch(view),
+                    self.state, self.cam_state, batch,
                     cam.K, cam.R, cam.T, jnp.asarray(view_i), jnp.asarray(it),
                 )
             else:
                 self.state, stats = self._step_fn(cam)(
-                    self.state, self._batch(view),
+                    self.state, batch,
                     cam.K, cam.R, cam.T, jnp.asarray(it),
                 )
+            self.timer.record("step", stats.get("loss"))
 
             if it % self.log_every == 0 or it == total - 1:
                 stats = {k: float(v) for k, v in stats.items()}
@@ -202,13 +221,18 @@ class Runner:
                     for k in ("loss", "img_loss", "psnr")
                     if k in smoothed
                 )
+                tline = ""
+                if self.timer.enabled:
+                    tline = (f" data {self.timer.mean('data')*1e3:.0f}ms"
+                             f" step {self.timer.mean('step')*1e3:.0f}ms")
                 print(
                     f"iter {it}/{total} {line} "
                     f"pts {int(stats.get('num_pts', 0))} "
                     f"env {int(stats.get('env_num_pts', 0))} "
-                    f"eta {eta/60:.1f}m",
+                    f"eta {eta/60:.1f}m{tline}",
                     flush=True,
                 )
+                self.timer.tick()  # logging cost is not charged to spans
 
             nxt = it + 1
             if self.save_latest_every and nxt % self.save_latest_every == 0:
@@ -223,6 +247,9 @@ class Runner:
                     print(f"[eval error ignored] {e}")
 
         self.save(total)
+        self.profiler.close()
+        if self.timer_record_to_file:
+            self.timer.dump(self.timer_record_to_file)
         return self.state
 
     def save(self, it: int, latest_only: bool = False):

@@ -146,3 +146,44 @@ def test_camera_path_kinds():
         for c in path:
             R = np.asarray(c.R)
             np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_timer_spans_and_dump(tmp_path):
+    import time
+
+    from envgs_tpu.utils.timer import Timer
+
+    t = Timer(enabled=True)
+    t.tick()
+    time.sleep(0.01)
+    t.record("data")
+    time.sleep(0.02)
+    t.record("step")
+    assert 0.005 < t.mean("data") < 0.05
+    assert t.mean("step") >= t.mean("data") * 0.5
+    out = str(tmp_path / "timing.json")
+    t.dump(out)
+    import json
+
+    spans = json.load(open(out))
+    assert set(spans) == {"data", "step"}
+    # disabled timer records nothing
+    t2 = Timer(enabled=False)
+    t2.tick()
+    t2.record("x")
+    assert t2.summary() == {}
+
+
+def test_profiler_session_window(tmp_path):
+    import os
+
+    from envgs_tpu.utils.timer import ProfilerSession
+
+    d = str(tmp_path / "trace")
+    p = ProfilerSession(d, start=2, steps=2)
+    for it in range(6):
+        p.step(it)
+    p.close()
+    # a trace directory with at least one artifact was produced
+    found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert found, "no profiler trace artifacts written"
