@@ -131,10 +131,20 @@ def render_gaussians3d(
     scale_modifier: float = 1.0,
     active: jnp.ndarray | None = None,
     means2d_zero: jnp.ndarray | None = None,
+    filter3d: jnp.ndarray | None = None,
+    mip: bool = False,
 ) -> Raster3DOutput:
-    """One-call 3DGS render (prepare + rasterize)."""
-    prep = prepare_splats3d(means3d, quats, scales3, opacities, colors, cam,
-                            scale_modifier, active)
+    """One-call 3DGS render (prepare + rasterize).
+
+    mip=True enables the mip-splatting anti-aliasing pipeline
+    (diff_mip_rasterization parity): the 3D smoothing filter (pass
+    `filter3d` from `compute_filter3d`) plus the 0.1-dilation 2D mip
+    filter with opacity compensation."""
+    prep = prepare_splats3d(
+        means3d, quats, scales3, opacities, colors, cam, scale_modifier,
+        active, filter3d=filter3d,
+        lowpass2d=0.1 if mip else 0.3, compensate2d=mip,
+    )
     bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32),
                           (colors.shape[-1],))
     return rasterize3d(prep, cam, bg, backend, pair_cap, means2d_zero)

@@ -65,6 +65,9 @@ def prepare_splats3d(
     cam: Camera,
     scale_modifier: float = 1.0,
     active: jnp.ndarray | None = None,
+    filter3d: jnp.ndarray | None = None,
+    lowpass2d: float = LOWPASS_2D,
+    compensate2d: bool = False,
 ) -> Prepared3DSplats:
     """EWA-project 3D Gaussians to screen conics (vectorized XLA).
 
@@ -75,11 +78,28 @@ def prepare_splats3d(
       opacities: (P,) post-activation opacities.
       colors: (P, C) per-splat channels.
       active: (P,) bool pool mask; None = all active.
+      filter3d: (P,) mip-splatting 3D smoothing-filter std (world units,
+        from `compute_filter3d`); convolves the 3D covariance and scales
+        opacity by sqrt(det(Sigma)/det(Sigma + f^2 I)) so the splat's
+        integrated mass is preserved (the diff_mip_rasterization pipeline).
+      lowpass2d: screen-space dilation (0.3 classic 3DGS; mip-splatting
+        uses 0.1 with compensate2d=True).
+      compensate2d: scale opacity by sqrt(det2/det2_dilated) — the 2D mip
+        filter's opacity compensation.
     """
     R = quat_to_rotmat(quats)  # (P, 3, 3)
     S = scales3 * scale_modifier  # (P, 3)
     M = R * S[:, None, :]  # columns scaled: M = R diag(S)
     cov3 = M @ M.transpose(0, 2, 1)  # (P, 3, 3) = R S S^T R^T
+
+    if filter3d is not None:
+        f2 = filter3d[:, None] ** 2  # (P, 1)
+        det_raw = (S[:, 0] * S[:, 1] * S[:, 2]) ** 2  # det(R S^2 R^T)
+        det_flt = ((S ** 2 + f2).prod(axis=-1))
+        opacities = opacities * jnp.sqrt(
+            jnp.clip(det_raw / jnp.maximum(det_flt, 1e-30), 0.0, 1.0)
+        )
+        cov3 = cov3 + f2[..., None] * jnp.eye(3)[None]
 
     # view-space center; frustum-clamped for the Jacobian (3DGS convention)
     t = means3d @ cam.R.T + cam.T[None, :]  # (P, 3)
@@ -101,11 +121,18 @@ def prepare_splats3d(
     )  # (P, 2, 3)
     JW = J @ cam.R[None]  # (P, 2, 3)
     cov2 = JW @ cov3 @ JW.transpose(0, 2, 1)  # (P, 2, 2)
-    a = cov2[:, 0, 0] + LOWPASS_2D
+    a = cov2[:, 0, 0] + lowpass2d
     b = cov2[:, 0, 1]
-    c = cov2[:, 1, 1] + LOWPASS_2D
+    c = cov2[:, 1, 1] + lowpass2d
 
     det = a * c - b * b
+    if compensate2d:
+        det_raw2 = jnp.clip(
+            cov2[:, 0, 0] * cov2[:, 1, 1] - cov2[:, 0, 1] ** 2, 0.0, None
+        )
+        opacities = opacities * jnp.sqrt(
+            jnp.clip(det_raw2 / jnp.maximum(det, 1e-30), 0.0, 1.0)
+        )
     det_safe = jnp.where(det <= 0, 1.0, det)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], -1)
 
@@ -141,6 +168,36 @@ def prepare_splats3d(
         opacity=opacities,
         valid=valid,
     )
+
+
+def compute_filter3d(means3d: jnp.ndarray, cams: list,
+                     guard: float = 1.3) -> jnp.ndarray:
+    """Per-splat mip-splatting 3D smoothing-filter std (world units).
+
+    The maximal sampling rate over the training cameras: for each camera,
+    one pixel subtends depth/focal world units at the splat; the filter std
+    is sqrt(0.2) * min_k(depth_k / f_k) over cameras that see the point
+    (in front of the near plane and within a `guard`-dilated frustum).
+    Points seen by no camera get the largest visible interval.
+    """
+    P = means3d.shape[0]
+    best = jnp.full((P,), jnp.inf)
+    for cam in cams:
+        t = means3d @ cam.R.T + cam.T[None, :]
+        z = t[:, 2]
+        f = 0.5 * (cam.K[0, 0] + cam.K[1, 1])
+        x = t[:, 0] / jnp.maximum(z, 1e-6) * cam.K[0, 0]
+        y = t[:, 1] / jnp.maximum(z, 1e-6) * cam.K[1, 1]
+        inside = (
+            (z > NEAR_PLANE)
+            & (jnp.abs(x - (cam.K[0, 2] - cam.W / 2)) < guard * cam.W / 2)
+            & (jnp.abs(y - (cam.K[1, 2] - cam.H / 2)) < guard * cam.H / 2)
+        )
+        interval = jnp.where(inside, z / f, jnp.inf)
+        best = jnp.minimum(best, interval)
+    fallback = jnp.max(jnp.where(jnp.isinf(best), 0.0, best))
+    best = jnp.where(jnp.isinf(best), jnp.maximum(fallback, 1e-4), best)
+    return best * jnp.sqrt(0.2)
 
 
 class Raster3DOutput(NamedTuple):

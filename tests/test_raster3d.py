@@ -120,3 +120,53 @@ def test_active_mask_and_scale_modifier():
     out_big = render_gaussians3d(means, quats, scales, opac, colors, cam,
                                  backend="ref", scale_modifier=2.0)
     assert float(out_big.alpha.sum()) > float(out_full.alpha.sum())
+
+
+def test_mip_splatting_antialiasing():
+    """diff_mip_rasterization parity: the 3D smoothing filter + 2D mip
+    filter preserve splat mass where classic dilation inflates it."""
+    from envgs_tpu.ops.raster3d_ref import compute_filter3d
+
+    cam = _cam(64, 64, f=80.0)
+    rng = np.random.default_rng(11)
+    P = 64
+    means = np.concatenate(
+        [rng.normal(size=(P, 2)).astype(np.float32) * 0.4,
+         np.full((P, 1), 3.0, np.float32)], -1)
+    quats = rng.normal(size=(P, 4)).astype(np.float32)
+    # subpixel splats: world scale far below one pixel (pixel ~ z/f = 0.0375)
+    scales = np.full((P, 3), 0.004, np.float32)
+    opac = np.full((P,), 0.8, np.float32)
+    colors = rng.random((P, 3)).astype(np.float32)
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(colors))
+
+    f3d = compute_filter3d(args[0], [cam])
+    # sampling interval at depth 3 with f=80: 3/80 * sqrt(0.2) ~ 0.0168
+    assert np.allclose(np.asarray(f3d), 3.0 / 80.0 * np.sqrt(0.2), atol=1e-3)
+
+    classic = render_gaussians3d(*args, cam, backend="ref")
+    mip = render_gaussians3d(*args, cam, backend="ref", filter3d=f3d,
+                             mip=True)
+    a_classic = float(classic.alpha.sum())
+    a_mip = float(mip.alpha.sum())
+    # classic dilation inflates subpixel splats; mip compensation removes
+    # most of the inflation
+    assert a_mip < 0.7 * a_classic, (a_classic, a_mip)
+    assert a_mip > 0.0 and bool(jnp.isfinite(mip.rgb).all())
+
+    # a larger smoothing filter spreads the same mass wider at lower peak:
+    # opacity compensation must be monotone in the filter scale
+    mip_big = render_gaussians3d(*args, cam, backend="ref",
+                                 filter3d=2.0 * f3d, mip=True)
+    assert float(mip_big.alpha.sum()) <= a_mip + 1e-4
+    # well-resolved splats (scale >> filter) are nearly unaffected
+    scales_big = jnp.full((P, 3), 0.2)
+    big_plain = render_gaussians3d(args[0], args[1], scales_big, args[3],
+                                   args[4], cam, backend="ref")
+    big_mip = render_gaussians3d(args[0], args[1], scales_big, args[3],
+                                 args[4], cam, backend="ref", filter3d=f3d,
+                                 mip=True)
+    ratio = float(big_mip.alpha.sum()) / max(float(big_plain.alpha.sum()),
+                                             1e-6)
+    assert 0.9 < ratio < 1.1, ratio
