@@ -16,6 +16,7 @@ from envgs_tpu.engine import (
     RENDERERS,
     SAMPLERS,
 )
+from envgs_tpu.models.enerf import ENeRFConfig
 from envgs_tpu.models.envgs import EnvGSConfig
 from envgs_tpu.models.gaussiant import GaussianTConfig
 from envgs_tpu.models.nerf import NerfConfig, importance_z_vals, uniform_z_vals, volume_render
@@ -38,6 +39,7 @@ SAMPLERS.register(EnvGSConfig, name="Gaussian2DSampler")  # base-pass subset
 SAMPLERS.register(GaussianTConfig, name="GaussianTSampler")
 SAMPLERS.register(uniform_z_vals, name="UniformSampler")
 SAMPLERS.register(importance_z_vals, name="ImportanceSampler")
+SAMPLERS.register(ENeRFConfig, name="CostVolumeSampler")
 
 # --- NETWORKS (easyvolcap/models/networks/) --------------------------------
 NETWORKS.register(NerfConfig, name="VolumetricVideoNetwork")
