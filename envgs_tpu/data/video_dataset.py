@@ -186,3 +186,43 @@ class StreamSampler:
 
     def __len__(self):
         return len(self.by_frame)
+
+
+@DATASETS.register
+class ImageBasedDataset(MultiViewDataset):
+    """Source-view-stack dataset for image-based models (ENeRF/IBR).
+
+    Counterpart of the reference's ImageBasedDataset
+    (easyvolcap/dataloaders/datasets/image_based_dataset.py): each item is a
+    target view plus its `n_srcs` nearest training views (by camera-center
+    distance, target excluded — the source-view selection that conditions
+    the generalizable network). Items add `src_inps` (S, H, W, 3),
+    `src_cams` (list[Camera]) and `src_indices`.
+    """
+
+    def __init__(self, data_root: str, n_srcs: int = 3,
+                 extra_src_pool: int = 0, seed: int = 0, **kwargs):
+        super().__init__(data_root, **kwargs)
+        self.n_srcs = n_srcs
+        self.extra_src_pool = extra_src_pool  # jitter: sample n from n+pool
+        self._rng = np.random.default_rng(seed)
+        self._centers = np.stack(
+            [np.asarray(v.camera.center) for v in self.views])
+
+    def src_indices_for(self, i: int) -> list[int]:
+        d = np.linalg.norm(self._centers - self._centers[i], axis=-1)
+        d[i] = np.inf
+        pool = np.argsort(d)[: self.n_srcs + self.extra_src_pool]
+        if self.extra_src_pool > 0:
+            pool = self._rng.choice(pool, size=self.n_srcs, replace=False)
+        return [int(x) for x in pool[: self.n_srcs]]
+
+    def __getitem__(self, i: int) -> dict:
+        item = dict(super().__getitem__(i))
+        src = self.src_indices_for(i)
+        item["src_indices"] = src
+        item["src_inps"] = np.stack(
+            [super(ImageBasedDataset, self).__getitem__(j)["rgb"]
+             for j in src])
+        item["src_cams"] = [self.views[j].camera for j in src]
+        return item

@@ -78,3 +78,21 @@ def test_samplers(tmp_path):
     stream = list(StreamSampler(ds))
     frames = [ds[i]["frame_index"] for i in stream]
     assert frames == sorted(frames) and len(frames) == 4
+
+
+def test_image_based_dataset(tmp_path):
+    from envgs_tpu.data.video_dataset import ImageBasedDataset
+
+    _make_capture(str(tmp_path), n_views=5, n_frames=1)
+    ds = ImageBasedDataset(str(tmp_path), n_srcs=2, eval_every=0,
+                           cache_images=False)
+    it = ds[2]
+    assert it["src_inps"].shape == (2, 16, 20, 3)
+    assert len(it["src_cams"]) == 2
+    assert 2 not in it["src_indices"]
+    # all cameras sit at the origin here, so any 2 others are "nearest";
+    # with distinct centers selection must be by proximity:
+    ds._centers = np.arange(5, dtype=np.float64)[:, None] * np.array(
+        [[1.0, 0, 0]])
+    assert sorted(ds.src_indices_for(0)) == [1, 2]
+    assert sorted(ds.src_indices_for(4)) == [2, 3]
