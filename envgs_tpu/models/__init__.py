@@ -44,6 +44,8 @@ SAMPLERS.register(ENeRFConfig, name="CostVolumeSampler")
 # --- NETWORKS (easyvolcap/models/networks/) --------------------------------
 NETWORKS.register(NerfConfig, name="VolumetricVideoNetwork")
 NETWORKS.register(NerfConfig, name="MultilevelNetwork")  # separate_levels=True
+from envgs_tpu.models.neus import NeusConfig  # noqa: E402
+NETWORKS.register(NeusConfig, name="NeusNetwork")
 
 # --- EMBEDDERS (easyvolcap/models/networks/embedders/) ---------------------
 EMBEDDERS.register(positional_encoding, name="PositionalEncodingEmbedder")
