@@ -51,9 +51,11 @@ def main():
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
     cam = make_camera(H, W, K, np.eye(3, dtype=np.float32),
                       np.zeros(3, np.float32), 0.02, 100.0)
+    # pair_cap sized to the workload (~1.8M actual pairs; the binning sort
+    # costs O(cap log cap) regardless of real occupancy)
     cfg = EnvGSConfig(
         raster_backend="pallas", tracer_backend="tiled",
-        pair_cap=2 ** 22, env_pair_cap=2 ** 21, reflection_start_iter=0,
+        pair_cap=2 ** 21, env_pair_cap=2 ** 21, reflection_start_iter=0,
     )
 
     fwd = jax.jit(lambda b, e, it: forward_envgs(b, e, cam, it, cfg).rgb_map)

@@ -106,7 +106,20 @@ def bin_splats(
     )
 
     # ---- stable single-key sort: tile-major, depth order preserved ----
-    tid_s, gauss_s = jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
+    # When (tile id, depth rank) packs into 31 bits, sort ONE int32 array
+    # (key = tid << gbits | gid): gid is strictly increasing within a tile
+    # in the input, so the packed order IS the stable order — and a
+    # single-array sort moves half the bytes of the (key, value) pair sort
+    # through the comparator network.
+    gbits = max(int(P).bit_length(), 1)
+    tmax = num_tiles  # sentinel tile id
+    if (int(tmax).bit_length() + gbits) <= 31:
+        key = (tid << gbits) | gid
+        key_s = jax.lax.sort(key, is_stable=False)
+        tid_s = key_s >> gbits
+        gauss_s = key_s & ((1 << gbits) - 1)
+    else:
+        tid_s, gauss_s = jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
 
     # ---- per-tile bounds via binary search on the sorted keys ----
     bounds = jnp.searchsorted(

@@ -100,7 +100,10 @@ def _rows(C: int):
 
 
 def _cumsum_sublane(x, S, exclusive, reverse=False):
-    """Prefix/suffix sum along axis 0 of (S, NPIX) via roll-adds."""
+    """Prefix/suffix sum along axis 0 of (S, NPIX) via roll-adds.
+
+    (A triangular-matmul MXU variant was measured SLOWER on v5e — f32
+    matmul emulation costs more than log2(S) VPU roll-add sweeps.)"""
     total = x
     sh = 1
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
