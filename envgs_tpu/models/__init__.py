@@ -21,7 +21,9 @@ from envgs_tpu.models.envgs import EnvGSConfig
 from envgs_tpu.models.gaussiant import GaussianTConfig
 from envgs_tpu.models.nerf import NerfConfig, importance_z_vals, uniform_z_vals, volume_render
 from envgs_tpu.models.embedders import (
+    DeformationEmbedder,
     HashEmbedder,
+    KPlanesEmbedder,
     LatentCodeEmbedder,
     composed_xyzt,
     positional_encoding,
@@ -54,6 +56,8 @@ EMBEDDERS.register(HashEmbedder, name="HashEmbedder")
 EMBEDDERS.register(HashEmbedder, name="TcnnHashEmbedder")  # same math, XLA
 EMBEDDERS.register(LatentCodeEmbedder, name="LatentCodeEmbedder")
 EMBEDDERS.register(composed_xyzt, name="ComposedXyztEmbedder")
+EMBEDDERS.register(KPlanesEmbedder, name="KPlanesEmbedder")
+EMBEDDERS.register(DeformationEmbedder, name="DeformationEmbedder")
 
 # --- REGRESSORS (easyvolcap/models/networks/regressors/) -------------------
 REGRESSORS.register(MLP, name="MlpRegressor")

@@ -140,3 +140,116 @@ def composed_xyzt(xyz_feat: jnp.ndarray, t_feat: jnp.ndarray) -> jnp.ndarray:
     """xyz + time embedding concatenation (composed_xyzt_embedder.py)."""
     t_feat = jnp.broadcast_to(t_feat, (*xyz_feat.shape[:-1], t_feat.shape[-1]))
     return jnp.concatenate([xyz_feat, t_feat], axis=-1)
+
+
+class KPlanesEmbedder(NamedTuple):
+    """K-Planes factored spatio-temporal grid (kplanes_embedder.py /
+    configs/models/kplanes.yaml): one 2D feature plane per coordinate pair
+    — (xy, xz, yz) for static scenes, plus (xt, yt, zt) with `n_frames` > 1
+    — bilinearly interpolated and MULTIPLIED across planes (the Hadamard
+    combination of the paper), multiscale levels concatenated."""
+
+    n_features: int = 8
+    resolutions: tuple = (64, 128)  # multiscale spatial resolutions
+    time_resolution: int = 25
+    n_frames: int = 1  # > 1 enables the 3 time planes
+    bounds: tuple = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+
+    @property
+    def spatial_pairs(self):
+        return ((0, 1), (0, 2), (1, 2))
+
+    @property
+    def out_dim(self) -> int:
+        return len(self.resolutions) * self.n_features
+
+    def init(self, key) -> dict:
+        params = {}
+        for li, res in enumerate(self.resolutions):
+            for a, b in self.spatial_pairs:
+                key, k = jax.random.split(key)
+                # init near 1 so the Hadamard product starts informative
+                params[f"l{li}_s{a}{b}"] = 1.0 + 0.1 * jax.random.normal(
+                    k, (res, res, self.n_features))
+            if self.n_frames > 1:
+                for a in range(3):
+                    key, k = jax.random.split(key)
+                    params[f"l{li}_t{a}"] = 1.0 + 0.1 * jax.random.normal(
+                        k, (res, self.time_resolution, self.n_features))
+        return params
+
+    @staticmethod
+    def _interp2(plane, u, v):
+        """plane (R0, R1, F); u/v (...,) in [0, 1] -> (..., F) bilinear."""
+        R0, R1 = plane.shape[:2]
+        x = u * (R0 - 1)
+        y = v * (R1 - 1)
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, R0 - 2)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, R1 - 2)
+        wx = (x - x0)[..., None]
+        wy = (y - y0)[..., None]
+        return (
+            plane[x0, y0] * (1 - wx) * (1 - wy)
+            + plane[x0 + 1, y0] * wx * (1 - wy)
+            + plane[x0, y0 + 1] * (1 - wx) * wy
+            + plane[x0 + 1, y0 + 1] * wx * wy
+        )
+
+    def __call__(self, params: dict, x: jnp.ndarray,
+                 t: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+        """x (..., 3), t scalar or (...,) in [0, 1] -> (..., out_dim)."""
+        lo = jnp.asarray(self.bounds[0], jnp.float32)
+        hi = jnp.asarray(self.bounds[1], jnp.float32)
+        u = jnp.clip((x - lo) / (hi - lo), 0.0, 1.0)
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), x.shape[:-1])
+        outs = []
+        for li in range(len(self.resolutions)):
+            f = jnp.ones((*x.shape[:-1], self.n_features))
+            for a, b in self.spatial_pairs:
+                f = f * self._interp2(params[f"l{li}_s{a}{b}"],
+                                      u[..., a], u[..., b])
+            if self.n_frames > 1:
+                for a in range(3):
+                    f = f * self._interp2(params[f"l{li}_t{a}"],
+                                          u[..., a], t)
+            outs.append(f)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class DeformationEmbedder(NamedTuple):
+    """D-NeRF-style deformation field (configs/models/dnerf.yaml): an MLP
+    over (PE(x), PE(t)) predicting a canonical-space offset delta-x; the
+    canonical radiance field is evaluated at x + delta-x."""
+
+    xyz_freqs: int = 6
+    t_freqs: int = 4
+    width: int = 64
+    depth: int = 3
+
+    def init(self, key):
+        din = pe_dim(3, self.xyz_freqs) + pe_dim(1, self.t_freqs)
+        params = []
+        d = din
+        for _ in range(self.depth):
+            key, k = jax.random.split(key)
+            params.append((
+                jax.random.normal(k, (d, self.width)) * jnp.sqrt(2.0 / d),
+                jnp.zeros((self.width,)),
+            ))
+            d = self.width
+        key, k = jax.random.split(key)
+        # zero-init the head: identity warp at start (t=0 canonical frame)
+        params.append((jnp.zeros((d, 3)), jnp.zeros((3,))))
+        return params
+
+    def __call__(self, params, x: jnp.ndarray, t) -> jnp.ndarray:
+        """x (..., 3), t scalar/(...) -> warped positions x + delta(x, t)."""
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), x.shape[:-1])
+        h = jnp.concatenate([
+            positional_encoding(x, self.xyz_freqs),
+            positional_encoding(t[..., None], self.t_freqs),
+        ], -1)
+        for w, b in params[:-1]:
+            h = jax.nn.relu(h @ w + b)
+        w, b = params[-1]
+        return x + (h @ w + b)

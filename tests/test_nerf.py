@@ -152,3 +152,50 @@ def test_render_rays_deterministic_eval():
     b = render_rays_nerf(cfg, params, ray_o, ray_d, near, far, key=None)
     np.testing.assert_allclose(np.asarray(a["rgb_map"]),
                                np.asarray(b["rgb_map"]), atol=0)
+
+
+def test_kplanes_embedder():
+    from envgs_tpu.models.embedders import KPlanesEmbedder
+
+    emb = KPlanesEmbedder(n_features=4, resolutions=(8, 16), n_frames=10)
+    params = emb.init(jax.random.PRNGKey(0))
+    # 3 spatial + 3 time planes per level
+    assert len(params) == 2 * 6
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1,
+                           maxval=1)
+    f0 = emb(params, x, t=0.0)
+    f1 = emb(params, x, t=1.0)
+    assert f0.shape == (32, 2 * 4)
+    assert bool(jnp.isfinite(f0).all())
+    # time planes make features time-dependent
+    assert float(jnp.abs(f0 - f1).max()) > 1e-4
+    # static variant has no time planes and ignores t
+    emb_s = KPlanesEmbedder(n_features=4, resolutions=(8,), n_frames=1)
+    ps = emb_s.init(jax.random.PRNGKey(2))
+    assert len(ps) == 3
+    np.testing.assert_allclose(np.asarray(emb_s(ps, x, 0.0)),
+                               np.asarray(emb_s(ps, x, 0.7)))
+    # gradients flow to the planes
+    g = jax.grad(lambda p: jnp.sum(emb(p, x, 0.3) ** 2))(params)
+    assert any(float(jnp.abs(v).sum()) > 0 for v in g.values())
+
+
+def test_deformation_embedder():
+    from envgs_tpu.models.embedders import DeformationEmbedder
+
+    emb = DeformationEmbedder()
+    params = emb.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+    # zero-initialized head: identity warp everywhere at start
+    np.testing.assert_allclose(np.asarray(emb(params, x, 0.5)),
+                               np.asarray(x), atol=1e-6)
+    # after perturbing the head, the warp is time-dependent + differentiable
+    w, b = params[-1]
+    params2 = params[:-1] + [(w + 0.01, b)]
+    d0 = emb(params2, x, 0.0)
+    d1 = emb(params2, x, 1.0)
+    assert float(jnp.abs(d0 - d1).max()) > 1e-5
+    g = jax.grad(
+        lambda p: jnp.sum(emb(p, x, 0.2) ** 2)
+    )(params2)
+    assert float(jnp.abs(g[0][0]).sum()) > 0
