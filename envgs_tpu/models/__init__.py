@@ -42,6 +42,8 @@ SAMPLERS.register(GaussianTConfig, name="GaussianTSampler")
 SAMPLERS.register(uniform_z_vals, name="UniformSampler")
 SAMPLERS.register(importance_z_vals, name="ImportanceSampler")
 SAMPLERS.register(ENeRFConfig, name="CostVolumeSampler")
+from envgs_tpu.models.point_planes import PointPlanesConfig  # noqa: E402
+SAMPLERS.register(PointPlanesConfig, name="PointPlanesSampler")
 
 # --- NETWORKS (easyvolcap/models/networks/) --------------------------------
 NETWORKS.register(NerfConfig, name="VolumetricVideoNetwork")

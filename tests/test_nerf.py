@@ -199,3 +199,100 @@ def test_deformation_embedder():
         lambda p: jnp.sum(emb(p, x, 0.2) ** 2)
     )(params2)
     assert float(jnp.abs(g[0][0]).sum()) > 0
+
+
+def test_kplanes_dynamic_radiance_field():
+    """End-to-end dynamic capability (kplanes.yaml / dnerf.yaml regime): a
+    K-Planes-embedded field fits a TIME-VARYING scene — a colored blob
+    moving along x — and reproduces the motion at render time."""
+    from envgs_tpu.models.embedders import KPlanesEmbedder
+    from envgs_tpu.models.nerf import volume_render
+    import optax
+
+    emb = KPlanesEmbedder(n_features=8, resolutions=(16,), n_frames=8,
+                          time_resolution=8)
+    W_HEAD = 32
+
+    def init(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return dict(
+            planes=emb.init(k1),
+            w1=jax.random.normal(k2, (emb.out_dim, W_HEAD)) * 0.3,
+            b1=jnp.zeros((W_HEAD,)),
+            # small head: the field starts (near-)empty, not as dense fog
+            w2=jax.random.normal(k3, (W_HEAD, 4)) * 0.03,
+            b2=jnp.zeros((4,)),
+        )
+
+    def field(params, x, t):
+        h = jax.nn.relu(emb(params["planes"], x, t) @ params["w1"]
+                        + params["b1"])
+        o = h @ params["w2"] + params["b2"]
+        return jax.nn.sigmoid(o[..., :3]), jax.nn.softplus(o[..., 3] - 2.0)
+
+    def gt_sigma(x, t):
+        # blob center moves from x=-0.5 to x=+0.5 over t
+        c = jnp.stack([t - 0.5, jnp.zeros_like(t), jnp.zeros_like(t)], -1)
+        d2 = jnp.sum((x - c) ** 2, -1)
+        return 20.0 * jnp.exp(-d2 / 0.02)
+
+    def render(params, ray_o, ray_d, t):
+        z = jnp.linspace(0.5, 2.5, 32)
+        pts = ray_o[:, None] + z[None, :, None] * ray_d[:, None]
+        rgb, sig = field(params, pts, t[:, None])
+        return volume_render(rgb, sig, jnp.broadcast_to(z, sig.shape))
+
+    def gt_render(ray_o, ray_d, t):
+        z = jnp.linspace(0.5, 2.5, 32)
+        pts = ray_o[:, None] + z[None, :, None] * ray_d[:, None]
+        sig = gt_sigma(pts, t[:, None])
+        rgb = jnp.broadcast_to(jnp.asarray([1.0, 0.3, 0.1]),
+                               (*sig.shape, 3))
+        return volume_render(rgb, sig, jnp.broadcast_to(z, sig.shape))
+
+    opt = optax.adam(1e-2)
+    params = init(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        ko, kt = jax.random.split(key)
+        o_xy = jax.random.uniform(ko, (256, 2), minval=-0.8, maxval=0.8)
+        ray_o = jnp.concatenate([o_xy, jnp.full((256, 1), -1.5)], -1)
+        ray_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (256, 3))
+        t = jax.random.randint(kt, (256,), 0, 8) / 7.0
+
+        tgt = gt_render(ray_o, ray_d, t)
+
+        def loss_fn(p):
+            # rgb-only: volume_render's infinite last interval saturates
+            # acc to 1 for ANY positive sigma, so acc is not fittable
+            out = render(p, ray_o, ray_d, t)
+            return jnp.mean((out["rgb_map"] - tgt["rgb_map"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for it in range(400):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        losses.append(float(loss))
+    assert losses[-1] < 0.02, (losses[0], losses[-1])
+
+    # the fitted field reproduces the MOTION: the blob's rendered position
+    # at t=0 vs t=1 differs, and each matches its own ground truth better
+    # than the other time's
+    xs = jnp.linspace(-0.8, 0.8, 41)
+    ray_o = jnp.stack([xs, jnp.zeros_like(xs), jnp.full_like(xs, -1.5)], -1)
+    ray_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (41, 3))
+    for tval in (0.0, 1.0):
+        t = jnp.full((41,), tval)
+        rgb = render(params, ray_o, ray_d, t)["rgb_map"]
+        gt = gt_render(ray_o, ray_d, t)["rgb_map"]
+        gt_other = gt_render(ray_o, ray_d, 1.0 - t)["rgb_map"]
+        err_own = float(jnp.mean((rgb - gt) ** 2))
+        err_other = float(jnp.mean((rgb - gt_other) ** 2))
+        assert err_own < 0.5 * err_other, (tval, err_own, err_other)
