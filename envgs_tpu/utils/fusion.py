@@ -201,3 +201,43 @@ def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray):
             f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for t in faces:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def visual_hull(
+    masks: jnp.ndarray,  # (V, H, W) bool/0-1 foreground masks
+    cams: list,
+    bounds: tuple,
+    res: int = 64,
+    min_votes: int | None = None,
+) -> np.ndarray:
+    """Space-carving visual hull (vhull tooling,
+    easyvolcap/utils/vhull_utils.py semantics): voxels whose projection
+    lands in the foreground of (at least `min_votes`, default all
+    observing) views. Returns (N, 3) world points of surviving voxels —
+    the reference's point-cloud initialization for mask-supervised scenes.
+    """
+    lo = jnp.asarray(bounds[0], jnp.float32)
+    hi = jnp.asarray(bounds[1], jnp.float32)
+    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    X, Y, Z = jnp.meshgrid(g, g, g, indexing="ij")
+    pts = (lo + jnp.stack([X, Y, Z], -1) * (hi - lo)).reshape(-1, 3)
+
+    votes = jnp.zeros((pts.shape[0],), jnp.int32)
+    seen = jnp.zeros((pts.shape[0],), jnp.int32)
+    for v, cam in enumerate(cams):
+        p = pts @ cam.R.T + cam.T[None]
+        z = p[:, 2]
+        x = p[:, 0] / jnp.maximum(z, 1e-6) * cam.K[0, 0] + cam.K[0, 2]
+        y = p[:, 1] / jnp.maximum(z, 1e-6) * cam.K[1, 1] + cam.K[1, 2]
+        inside = ((z > 1e-3) & (x >= 0) & (x <= cam.W - 1)
+                  & (y >= 0) & (y <= cam.H - 1))
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, cam.W - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, cam.H - 1)
+        fg = masks[v][yi, xi] > 0.5
+        votes = votes + (inside & fg).astype(jnp.int32)
+        seen = seen + inside.astype(jnp.int32)
+    if min_votes is None:
+        keep = (seen > 0) & (votes == seen)  # carved by every observing view
+    else:
+        keep = votes >= min_votes
+    return np.asarray(pts[np.asarray(keep)])

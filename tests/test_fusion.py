@@ -81,3 +81,20 @@ def test_tsdf_sphere_reconstruction(tmp_path):
     save_mesh_ply(out, verts, faces)
     head = open(out).read(200)
     assert "element vertex" in head and "element face" in head
+
+
+def test_visual_hull_carves_sphere():
+    from envgs_tpu.utils.fusion import visual_hull
+
+    cams = _cams()
+    masks = jnp.asarray(
+        np.stack([(_sphere_depth(c) > 0).astype(np.float32) for c in cams]))
+    bounds = ((-0.7, -0.7, -0.7), (0.7, 0.7, 0.7))
+    pts = visual_hull(masks, cams, bounds, res=40)
+    assert len(pts) > 100
+    r = np.linalg.norm(pts, axis=-1)
+    # all hull points within (slightly dilated) sphere; hull fills it
+    assert float(r.max()) < R_SPHERE + 0.15, float(r.max())
+    assert float(r.min()) < 0.1  # interior filled
+    # center of mass at the sphere center
+    assert float(np.abs(pts.mean(0)).max()) < 0.05
