@@ -13,6 +13,7 @@ parents via `configs:`, `_delete_`, CLI `a.b.c=value` overrides.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -33,8 +34,9 @@ def _named(cls, cfg: dict):
     return cls(**cfg)
 
 
-def build_from_config(cfg: Config):
-    """Config dict -> (views, eval_views, pools, cfg objects)."""
+def _load_views(cfg: Config):
+    """dataset_cfg -> (views, eval_views, init_xyz, init_rgb, env_bounds,
+    spatial_scale)."""
     dcfg = cfg.get("dataset_cfg", {})
     source = dcfg.get("source", "synthetic")
 
@@ -72,6 +74,13 @@ def build_from_config(cfg: Config):
         init_xyz, init_rgb = ds.load_sfm(dcfg.get("preload_gs"))
         env_bounds = dcfg.get("env_bounds", [[-1, -1, -1], [1, 1, 1]])
         spatial_scale = ds.spatial_scale
+    return views, eval_views, init_xyz, init_rgb, env_bounds, spatial_scale
+
+
+def build_from_config(cfg: Config):
+    """Config dict -> (views, eval_views, pools, cfg objects)."""
+    (views, eval_views, init_xyz, init_rgb, env_bounds,
+     spatial_scale) = _load_views(cfg)
 
     mcfg = cfg.get("model_cfg", {})
     scfg = mcfg.get("sampler_cfg", {})
@@ -214,6 +223,84 @@ def make_runner(cfg: Config) -> Runner:
     )
 
 
+def train_gaussiant(cfg: Config):
+    """Plain-3DGS training loop (GaussianTSampler model family): the
+    config-driven counterpart of the reference's gaussiant.yaml experiments,
+    sharing the dataset layer and checkpoint/eval conventions."""
+    import jax
+    import jax.numpy as jnp
+
+    from envgs_tpu.models.gaussiant import (
+        GaussianTConfig,
+        gaussiant_maintenance,
+        init_gaussiant_pool,
+        init_gaussiant_state,
+        make_gaussiant_train_step,
+        render_gaussiant,
+    )
+    from envgs_tpu.train.evaluator import Evaluator
+    from envgs_tpu.utils.ply import save_gaussian_ply
+
+    views, eval_views, init_xyz, init_rgb, _, spatial_scale = _load_views(cfg)
+    scfg = cfg.get("model_cfg", {}).get("sampler_cfg", {})
+    gcfg = _named(GaussianTConfig, scfg)
+    if jax.default_backend() == "cpu" and gcfg.raster_backend == "pallas":
+        gcfg = gcfg._replace(raster_backend="pallas_interp")
+    cap = int(scfg.get("pool_cap", max(len(init_xyz) * 4, 1024)))
+    pool = init_gaussiant_pool(init_xyz, init_rgb, cap, gcfg)
+    state = init_gaussiant_state(pool)
+    dcfg_d = _named(G.DensifyConfig, dict(scfg, spatial_scale=spatial_scale,
+                                          max_gs=cap))
+    rcfg = cfg.get("runner_cfg", {})
+    total = int(rcfg.get("epochs", 1)) * int(rcfg.get("ep_iter", 500))
+    log_every = int(rcfg.get("log_interval", 50))
+    exp = cfg.get("exp_name", "gaussiant")
+    model_dir = os.path.join(cfg.get("out_root", "data"), "trained_model",
+                             exp)
+
+    cam0 = views[0]["camera"]
+    step = make_gaussiant_train_step(gcfg, cam0)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    order = rng.permutation(len(views))
+    oi = 0
+    for it in range(total):
+        key, mkey = jax.random.split(key)
+        state = gaussiant_maintenance(state, it, gcfg, dcfg_d, mkey)
+        v = views[int(order[oi])]
+        oi = (oi + 1) % len(order)
+        if oi == 0:
+            order = rng.permutation(len(views))
+        cam = v["camera"]
+        state, aux = step(state, jnp.asarray(cam.K), cam.R, cam.T,
+                          jnp.asarray(v["rgb"]))
+        if it % log_every == 0 or it == total - 1:
+            print(f"iter {it}/{total} loss {float(aux['loss']):.4f} "
+                  f"psnr {float(aux['psnr']):.2f} "
+                  f"pts {int(aux['n_pts'])}", flush=True)
+
+    os.makedirs(model_dir, exist_ok=True)
+    p = state.pool.params
+    act = np.asarray(state.pool.stats.active)
+    save_gaussian_ply(
+        os.path.join(model_dir, "point_cloud.ply"),
+        np.asarray(p.xyz)[act], np.asarray(p.features_dc)[act],
+        np.asarray(p.features_rest)[act], np.asarray(p.opacity)[act],
+        np.asarray(p.scaling)[act], np.asarray(p.rotation)[act],
+    )
+
+    # eval: PSNR/SSIM on held-out views
+    if eval_views:
+        ev = Evaluator(os.path.join(cfg.get("out_root", "data"), "result",
+                                    exp))
+        for i, v in enumerate(eval_views):
+            out = render_gaussiant(state.pool, v["camera"], gcfg)
+            ev.evaluate(np.asarray(out.rgb), np.asarray(v["rgb"]),
+                        name=f"{i:04d}")
+        print(json.dumps(ev.summarize()["summary"], indent=2))
+    return state
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("envgs_tpu")
     p.add_argument("mode", choices=["train", "test", "render", "smoke"])
@@ -252,6 +339,12 @@ def main(argv=None):
     if not a.config:
         p.error("train/test require -c <config[,config2,...]>")
     cfg = load_config(a.config, overrides=a.opts, root=os.getcwd())
+    # model-family dispatch by sampler type (registry name)
+    styp = (cfg.get("model_cfg", {}) or {}).get(
+        "sampler_cfg", {}).get("type")
+    if a.mode == "train" and styp == "GaussianTSampler":
+        train_gaussiant(cfg)
+        return
     runner = make_runner(cfg)
     if a.mode == "train":
         runner.train()
