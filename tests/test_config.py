@@ -95,3 +95,43 @@ def test_registry_build_filters_kwargs():
     assert t.a == 10 and t.b == 2
     assert REG.build({"type": None}) is None
     assert REG.build(None) is None
+
+
+def test_file_client_backends(tmp_path):
+    """FileClient prefix dispatch: disk, memory, and loopback http."""
+    import http.server
+    import threading
+
+    from envgs_tpu.engine.file_client import FileClient, MemoryBackend
+
+    fc = FileClient()
+    p = tmp_path / "a.txt"
+    fc.put(str(p), b"hello disk")
+    assert fc.exists(str(p))
+    assert fc.get_text(str(p)) == "hello disk"
+    assert fc.get_text(f"file://{p}") == "hello disk"
+    assert not fc.exists(str(tmp_path / "missing"))
+
+    # memory backend (shared instance within one client)
+    fc.put("memory://k", b"mem")
+    assert fc.get("memory://k") == b"mem"
+    assert fc.exists("memory://k") and not fc.exists("memory://other")
+
+    # loopback http server serving tmp_path
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/a.txt"
+        assert fc.get_text(url) == "hello disk"
+        assert fc.exists(url)
+        assert not fc.exists(url + ".nope")
+    finally:
+        srv.shutdown()
