@@ -253,6 +253,11 @@ class Runner:
         return self.state
 
     def save(self, it: int, latest_only: bool = False):
+        # rank-0-only services (scripts/main.py:237 policy): replicated
+        # training state is identical on every host, save once
+        from envgs_tpu.parallel.multihost import is_main_process
+        if not is_main_process():
+            return
         os.makedirs(self.model_dir, exist_ok=True)
         ckpt.save_checkpoint(
             os.path.join(self.model_dir, "latest.npz"), self.state, it,
@@ -321,6 +326,9 @@ class Runner:
     def test(self, save_images: bool = True, tag: str | None = None,
              types=("RENDER", "DEPTH", "NORMAL", "SPECULAR", "DIFFUSE",
                     "REFLECTION")):
+        from envgs_tpu.parallel.multihost import is_main_process
+        if not is_main_process():  # rank-0-only evaluation
+            return {}
         result_dir = (
             os.path.join(self.result_dir, tag) if tag else self.result_dir
         )

@@ -65,3 +65,22 @@ def test_band_parallel_matches_single_chip():
         np.asarray(s8n.base.stats.weight_accum),
         np.asarray(s1n.base.stats.weight_accum), rtol=5e-3, atol=0.05,
     )
+
+
+def test_multihost_helpers():
+    """Single-host semantics of the multi-host orchestration helpers."""
+    from envgs_tpu.parallel import multihost as mh
+
+    assert mh.process_index() == 0
+    assert mh.process_count() == 1
+    assert mh.is_main_process()
+    mh.barrier()  # no-op on one host, must not hang
+    # explicit-rank sharding matches ims[:, rank::world]
+    items = list(range(10))
+    s0 = mh.shard_for_host(items, rank=0, world=3)
+    s1 = mh.shard_for_host(items, rank=1, world=3)
+    s2 = mh.shard_for_host(items, rank=2, world=3)
+    assert s0 == [0, 3, 6, 9] and s1 == [1, 4, 7] and s2 == [2, 5, 8]
+    assert sorted(s0 + s1 + s2) == items
+    # default uses this process's rank
+    assert mh.shard_for_host(items) == items
