@@ -258,8 +258,16 @@ def train_gaussiant(cfg: Config):
     model_dir = os.path.join(cfg.get("out_root", "data"), "trained_model",
                              exp)
 
-    cam0 = views[0]["camera"]
-    step = make_gaussiant_train_step(gcfg, cam0)
+    # per-resolution step cache (Runner._step_fn pattern): captures differ
+    # per (H, W) since shapes are static under jit
+    step_cache: dict = {}
+
+    def step_for(cam):
+        k = (cam.H, cam.W)
+        if k not in step_cache:
+            step_cache[k] = make_gaussiant_train_step(gcfg, cam)
+        return step_cache[k]
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     order = rng.permutation(len(views))
@@ -272,8 +280,8 @@ def train_gaussiant(cfg: Config):
         if oi == 0:
             order = rng.permutation(len(views))
         cam = v["camera"]
-        state, aux = step(state, jnp.asarray(cam.K), cam.R, cam.T,
-                          jnp.asarray(v["rgb"]))
+        state, aux = step_for(cam)(state, jnp.asarray(cam.K), cam.R, cam.T,
+                                   jnp.asarray(v["rgb"]))
         if it % log_every == 0 or it == total - 1:
             print(f"iter {it}/{total} loss {float(aux['loss']):.4f} "
                   f"psnr {float(aux['psnr']):.2f} "

@@ -56,12 +56,18 @@ class MultiViewVideoDataset(MultiViewDataset):
             img_dir = os.path.dirname(v.image_path)
             frames = sorted(os.listdir(img_dir))
             e_v = len(frames) if e in (None, -1) else min(e, len(frames))
-            sel = list(range(b or 0, e_v, s or 1))
+            sel_all = list(range(b or 0, e_v, s or 1))
             if frame_shard is not None:
                 rank, world = frame_shard
-                sel = sel[rank::world]
-            n_frames = max(n_frames, len(sel))
-            for fi, fidx in enumerate(sel):
+                # GLOBAL frame positions survive sharding: t / latent_index
+                # must name the same physical frame on every host (the
+                # reference computes ts before the rank split,
+                # volumetric_video_dataset.py:395-413)
+                pairs = list(enumerate(sel_all))[rank::world]
+            else:
+                pairs = list(enumerate(sel_all))
+            n_frames = max(n_frames, len(sel_all))
+            for fi, fidx in pairs:
                 fname = frames[fidx]
                 mp = os.path.join(self.data_root, masks_dir, v.name, fname)
                 np_ = os.path.join(self.data_root, normals_dir, v.name, fname)
@@ -127,8 +133,9 @@ class IterationBasedBatchSampler:
 
     def __iter__(self):
         it = self.start_iter
+        batch = []  # carried ACROSS sampler passes: a sampler shorter than
+        # batch_size keeps accumulating instead of spinning forever
         while it < self.max_iter:
-            batch = []
             for idx in self.sampler:
                 batch.append(idx)
                 if len(batch) == self.batch_size:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from envgs_tpu.models.nerf import volume_render
+from envgs_tpu.models.regressors import MLP
 from envgs_tpu.utils.camera import Camera
 
 
@@ -70,24 +71,6 @@ def _conv3(x, p, stride=1):
     ) + p[1]
 
 
-def _mlp_init(key, dims):
-    params = []
-    for i in range(len(dims) - 1):
-        key, k = jax.random.split(key)
-        w = jax.random.normal(k, (dims[i], dims[i + 1])) * jnp.sqrt(
-            2.0 / dims[i])
-        params.append([w, jnp.zeros((dims[i + 1],))])
-    return params
-
-
-def _mlp(x, params, final_act=None):
-    for i, (w, b) in enumerate(params):
-        x = x @ w + b
-        if i < len(params) - 1:
-            x = jax.nn.relu(x)
-    return final_act(x) if final_act else x
-
-
 class ENeRFConfig(NamedTuple):
     """Static hyperparameters (CostVolumeSampler defaults, two levels)."""
 
@@ -98,6 +81,27 @@ class ENeRFConfig(NamedTuple):
     ibr_hidden: int = 32
     guide_sigma: float = 3.0  # sampling interval = +- guide_sigma * std
     bg_brightness: float = 0.0
+
+    # IBR heads (the shared models/regressors.MLP: He init, relu hidden)
+    @property
+    def agg_net(self) -> MLP:
+        f0 = self.feat_dims[0]
+        return MLP(2 * (f0 + 3) + 1, self.ibr_hidden, 1, 1, skips=())
+
+    @property
+    def sig_net(self) -> MLP:
+        f0 = self.feat_dims[0]
+        return MLP(2 * (f0 + 3), self.ibr_hidden, 1, self.ibr_hidden,
+                   skips=())
+
+    @property
+    def sig_out_net(self) -> MLP:
+        return MLP(self.ibr_hidden, self.ibr_hidden, 0, 1, skips=())
+
+    @property
+    def rgb_res_net(self) -> MLP:
+        return MLP(self.ibr_hidden + 3, self.ibr_hidden, 1, 3, skips=(),
+                   out_actvn="tanh")
 
 
 def init_enerf(cfg: ENeRFConfig, key):
@@ -115,10 +119,10 @@ def init_enerf(cfg: ENeRFConfig, key):
         cr1a=_conv3_init(keys[6], 3, f0, cfg.cost_dim, positive=True),
         cr1b=_conv3_init(keys[7], 3, cfg.cost_dim, 1, positive=True),
         # IBR heads: per-view weight + sigma/rgb from aggregated features
-        agg=_mlp_init(keys[8], (2 * (f0 + 3) + 1, cfg.ibr_hidden, 1)),
-        sig=_mlp_init(keys[9], (2 * (f0 + 3), cfg.ibr_hidden, cfg.ibr_hidden)),
-        sig_out=_mlp_init(keys[10], (cfg.ibr_hidden, 1)),
-        rgb_res=_mlp_init(keys[11], (cfg.ibr_hidden + 3, cfg.ibr_hidden, 3)),
+        agg=cfg.agg_net.init(keys[8]),
+        sig=cfg.sig_net.init(keys[9]),
+        sig_out=cfg.sig_out_net.init(keys[10]),
+        rgb_res=cfg.rgb_res_net.init(keys[11]),
     )
     return params
 
@@ -277,14 +281,14 @@ def _ibr_render(cfg, params, tgt_cam, src_imgs, src_cams, f0, depth, std,
         jnp.broadcast_to(glob[None], (S, *glob.shape)),
         jnp.sum((src_feat - mean[None]) ** 2, -1, keepdims=True),
     ], -1)
-    logits = _mlp(per_view_in, params["agg"])[..., 0]  # (S, h, w, n)
+    logits = cfg.agg_net(params["agg"], per_view_in)[..., 0]  # (S, h, w, n)
     wsrc = jax.nn.softmax(logits, axis=0)
     rgb_blend = jnp.sum(wsrc[..., None] * src_feat[..., :3], axis=0)
 
-    hid = _mlp(glob, params["sig"])
-    sigma = jax.nn.softplus(_mlp(hid, params["sig_out"])[..., 0] - 1.0)
-    rgb_res = _mlp(jnp.concatenate([hid, rgb_blend], -1),
-                   params["rgb_res"], jax.nn.tanh) * 0.1
+    hid = cfg.sig_net(params["sig"], glob)
+    sigma = jax.nn.softplus(cfg.sig_out_net(params["sig_out"], hid)[..., 0] - 1.0)
+    rgb_res = cfg.rgb_res_net(
+        params["rgb_res"], jnp.concatenate([hid, rgb_blend], -1)) * 0.1
     rgb_s = jnp.clip(rgb_blend + rgb_res, 0.0, 1.0)  # (h, w, n, 3)
     return volume_render(rgb_s, sigma, z_vals, bg_color=cfg.bg_brightness)
 

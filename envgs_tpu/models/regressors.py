@@ -64,6 +64,8 @@ class MLP(NamedTuple):
             out = jax.nn.relu(out)
         elif self.out_actvn == "softplus":
             out = jax.nn.softplus(out)
+        elif self.out_actvn == "tanh":
+            out = jnp.tanh(out)
         return out
 
 

@@ -186,12 +186,14 @@ def compute_filter3d(means3d: jnp.ndarray, cams: list,
         t = means3d @ cam.R.T + cam.T[None, :]
         z = t[:, 2]
         f = 0.5 * (cam.K[0, 0] + cam.K[1, 1])
-        x = t[:, 0] / jnp.maximum(z, 1e-6) * cam.K[0, 0]
-        y = t[:, 1] / jnp.maximum(z, 1e-6) * cam.K[1, 1]
+        # pixel coords incl. the principal point; inside the guard-dilated
+        # frustum means |pix - center| < guard * half-extent
+        x = t[:, 0] / jnp.maximum(z, 1e-6) * cam.K[0, 0] + cam.K[0, 2]
+        y = t[:, 1] / jnp.maximum(z, 1e-6) * cam.K[1, 1] + cam.K[1, 2]
         inside = (
             (z > NEAR_PLANE)
-            & (jnp.abs(x - (cam.K[0, 2] - cam.W / 2)) < guard * cam.W / 2)
-            & (jnp.abs(y - (cam.K[1, 2] - cam.H / 2)) < guard * cam.H / 2)
+            & (jnp.abs(x - cam.W / 2) < guard * cam.W / 2)
+            & (jnp.abs(y - cam.H / 2) < guard * cam.H / 2)
         )
         interval = jnp.where(inside, z / f, jnp.inf)
         best = jnp.minimum(best, interval)

@@ -45,7 +45,7 @@ from envgs_tpu.ops.common import (
 
 TILE = 16
 NPIX = TILE * TILE  # 256
-CHUNK = 64  # pairs per inner step (sublane dim)
+CHUNK = 64  # pairs per inner step (sublane dim; 128 measured neutral fwd, more pad waste)
 DPAD = 128  # packed per-pair feature width (lane dim; HBM DMA slices must
 #   be 128-lane aligned, and ANY-space arrays are physically 128-wide anyway)
 LO = 32  # lane offset of the low-order bf16 block (see split-precision note)

@@ -234,20 +234,11 @@ def cull_and_sort(
         keep = (hit | near) & (proj + idx.crad[None, :] > 0)
         keep = keep & idx.cact[None, :] & tmask[:, None]
         radial = jnp.where(keep, jnp.sqrt(d2), jnp.inf)
-        if Kc >= NC:
-            # no truncation: order all chunks (ascending radial)
-            negr, idc = jax.lax.top_k(-radial, Kc)
-        else:
-            # truncating pick of the Kc nearest chunks: approx_max_k is the
-            # TPU-native partial reduction (~linear, vs top_k's full sort of
-            # the (B, NC) block). Recall<1 only perturbs WHICH far chunks
-            # are dropped past the cap — the kept set is still refined and
-            # exactly radially sorted below, so blend order is unchanged.
-            negr, idc = jax.lax.approx_max_k(
-                -radial, Kc, recall_target=0.95,
-                aggregate_to_topk=True,
-            )
-            idc = idc.astype(jnp.int32)
+        # exact nearest-Kc chunks. (approx_max_k was measured to give NO
+        # speedup here — the refine stage dominates — and its recall<1 can
+        # drop NEAR chunks, i.e. visible foreground splats, not just the
+        # far-truncation semantics of the cap.)
+        negr, idc = jax.lax.top_k(-radial, Kc)
         cvalid = negr > -jnp.inf
         # ---- refine: exact per-splat cone test on the candidates ----
         cm = cand_mean[idc].reshape(B, C, 3)
@@ -696,11 +687,8 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _to_split16(pair_data):
-    """Accept either an f32 logical pair table or a pre-split bf16 one."""
-    if pair_data.dtype == jnp.bfloat16:
-        return pair_data
-    return split_bf16(pair_data[:, :LO])
+# shared with the rasterizer (same split-bf16 pair-row layout)
+from envgs_tpu.ops.raster_pallas import _to_split16  # noqa: E402
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

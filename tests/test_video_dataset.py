@@ -96,3 +96,33 @@ def test_image_based_dataset(tmp_path):
         [[1.0, 0, 0]])
     assert sorted(ds.src_indices_for(0)) == [1, 2]
     assert sorted(ds.src_indices_for(4)) == [2, 3]
+
+
+def test_frame_sharding_keeps_global_time(tmp_path):
+    """Regression: t / frame_index must name the same physical frame on
+    every host (computed before the rank split, not per-shard)."""
+    _make_capture(str(tmp_path), n_views=1, n_frames=6)
+    by_file = {}
+    for rank in range(2):
+        ds = MultiViewVideoDataset(str(tmp_path), frame_shard=(rank, 2),
+                                   eval_every=0, cache_images=False)
+        assert ds.n_frames == 6  # GLOBAL frame count
+        for i in range(len(ds)):
+            fname = os.path.basename(ds.views[i].image_path)
+            by_file.setdefault(fname, []).append(
+                (ds[i]["frame_index"], round(ds[i]["t"], 4)))
+    # global positions: 000002.jpg is frame 2 at t=0.4 regardless of rank
+    assert by_file["000002.jpg"] == [(2, 0.4)]
+    assert by_file["000000.jpg"] == [(0, 0.0)]
+    assert by_file["000005.jpg"] == [(5, 1.0)]
+
+
+def test_iteration_sampler_smaller_than_batch():
+    """Regression: a sampler shorter than batch_size must accumulate
+    across passes instead of spinning forever."""
+    batches = list(IterationBasedBatchSampler(
+        SequentialSampler(3), batch_size=4, max_iter=3))
+    assert len(batches) == 3
+    assert all(len(b) == 4 for b in batches)
+    flat = [i for b in batches for i in b]
+    assert flat == [0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1, 2]
