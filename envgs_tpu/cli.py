@@ -220,6 +220,8 @@ def make_runner(cfg: Config) -> Runner:
             "skip_first", 10)),
         profiler_steps=int((cfg.get("profiler_cfg", {}) or {}).get(
             "active", 5)),
+        record=bool(rcfg.get("record", True)),
+        resolved_config=cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg),
     )
 
 
@@ -347,12 +349,21 @@ def main(argv=None):
     if not a.config:
         p.error("train/test require -c <config[,config2,...]>")
     cfg = load_config(a.config, overrides=a.opts, root=os.getcwd())
-    # model-family dispatch by sampler type (registry name)
-    styp = (cfg.get("model_cfg", {}) or {}).get(
-        "sampler_cfg", {}).get("type")
-    if a.mode == "train" and styp == "GaussianTSampler":
-        train_gaussiant(cfg)
-        return
+    # model-family dispatch by sampler/network type (registry name),
+    # mirroring the reference's REGISTRY.build-driven construction
+    mcfg = cfg.get("model_cfg", {}) or {}
+    styp = (mcfg.get("sampler_cfg", {}) or {}).get("type")
+    ntyp = (mcfg.get("network_cfg", {}) or {}).get("type")
+    if a.mode == "train":
+        if styp == "GaussianTSampler":
+            train_gaussiant(cfg)
+            return
+        from envgs_tpu.engine import TRAINERS
+        from envgs_tpu.train import families  # noqa: F401 (registrations)
+        for typ in (styp, ntyp):
+            if typ and typ in TRAINERS:
+                TRAINERS.get(typ)(cfg)
+                return
     runner = make_runner(cfg)
     if a.mode == "train":
         runner.train()

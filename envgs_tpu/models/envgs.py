@@ -60,6 +60,30 @@ class EnvGSConfig(NamedTuple):
     acc_filtering_start_iter: int = -1
 
 
+def _bisect_quantile01(x: jnp.ndarray, q: float, iters: int = 10) -> jnp.ndarray:
+    """Approximate q-quantile of values in [0, 1] by threshold bisection.
+
+    Each step is one elementwise compare + mean (bandwidth-bound) instead of
+    jnp.quantile's full sort; after `iters` steps the threshold is within
+    2^-iters of the exact quantile. Replaces torch.quantile in the reference
+    reflection filter (envgs_sampler.py:441) at far lower TPU cost.
+    """
+    n = x.size
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        frac_below = jnp.sum(x <= mid) / n
+        lo = jnp.where(frac_below < q, mid, lo)
+        hi = jnp.where(frac_below < q, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(
+        0, iters, body, (jnp.asarray(0.0, x.dtype), jnp.asarray(1.0, x.dtype))
+    )
+    return 0.5 * (lo + hi)
+
+
 def _pool_colors(pool: GaussianPool, viewdir_origin: jnp.ndarray) -> jnp.ndarray:
     """Per-splat SH colors toward `viewdir_origin` with active-degree mask.
 
@@ -297,13 +321,26 @@ def forward_envgs(
     use_acc_filter = cfg.acc_filtering_start_iter > 0
     if use_spec_filter or use_acc_filter:
         if use_spec_filter:
-            thresh = jnp.quantile(spec[..., 0], cfg.specular_filtering_percent)
-            msk = spec[..., 0] > thresh
             gate = it >= cfg.specular_filtering_start_iter
+
+            def _spec_mask(_):
+                # bisection quantile (10 mean-reductions) instead of
+                # jnp.quantile's full H*W sort in the hot path; spec is a
+                # sigmoid output so the bracket [0, 1] is exact. Runs only
+                # when the gate is live (lax.cond, not select).
+                thresh = _bisect_quantile01(
+                    spec[..., 0], cfg.specular_filtering_percent
+                )
+                return spec[..., 0] > thresh
+
+            ref_msk = jax.lax.cond(
+                gate, _spec_mask,
+                lambda _: jnp.ones((H, W), bool), None,
+            )
         else:
             msk = b.alpha[..., 0] > 0.75
             gate = it >= cfg.acc_filtering_start_iter
-        ref_msk = jnp.where(gate, msk, jnp.ones_like(msk))
+            ref_msk = jnp.where(gate, msk, jnp.ones_like(msk))
 
     def with_env(_):
         e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero,

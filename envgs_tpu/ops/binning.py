@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from envgs_tpu.ops.common import PreparedSplats
+from envgs_tpu.ops.common import PreparedSplats, snug_row_interval
 from envgs_tpu.ops.fill_forward import BROWS, LANES, fill_forward
 
 _ALIGN_N = LANES * BROWS  # fill_forward length granularity
@@ -53,10 +53,17 @@ def _round_up(n, m):
 
 def bin_splats(
     prep: PreparedSplats, H: int, W: int, tile: int, pair_cap: int,
-    align: int = 64, interpret: bool = False,
+    align: int = 64, interpret: bool = False, lowpass_r: float = 0.0,
 ) -> BinnedPairs:
     """Expand splats into (splat, tile) pairs sorted by (tile, depth), each
-    tile's range padded to a multiple of `align` (padding -> sentinel P)."""
+    tile's range padded to a multiple of `align` (padding -> sentinel P).
+
+    When `prep.rowcull` is present, pairs whose tile lies outside the
+    splat's per-tile-row footprint interval (the alpha-floor iso-level
+    ellipse, union the lowpass circle when lowpass_r > 0) are retargeted to
+    the sentinel tile before the sort — they sort past every real tile, so
+    blend/gather work drops with NO output change (those pixels are below
+    the 1/255 alpha floor by construction)."""
     tx_n, ty_n = tile_dims(H, W, tile)
     num_tiles = tx_n * ty_n
     P = prep.depth.shape[0]
@@ -64,15 +71,30 @@ def bin_splats(
 
     # ---- depth-sort the splats (index order becomes blend order) ----
     order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf))
-    cx = prep.center_pix[order, 0]
-    cy = prep.center_pix[order, 1]
-    r = prep.radius[order]
-    valid = prep.valid[order]
+    # ONE consolidated row-gather for every per-splat column: row gathers
+    # are row-RATE bound on v5e (~10ns/row regardless of width), so k
+    # separate per-column gathers cost k times this single (P, k) gather
+    ext = getattr(prep, "ext", None)
+    rowcull = getattr(prep, "rowcull", None)
+    gcols = [prep.center_pix,
+             ext if ext is not None
+             else jnp.stack([prep.radius, prep.radius], -1),
+             prep.valid[:, None].astype(jnp.float32)]
+    if rowcull is not None:
+        gcols.append(rowcull)
+    packed_cols = jnp.concatenate(gcols, axis=1)[order]
+    cx = packed_cols[:, 0]
+    cy = packed_cols[:, 1]
+    # snug per-axis extents when available (exact ellipse AABB rect vs the
+    # square of the max extent — ~2x fewer pairs for anisotropic splats)
+    rx = packed_cols[:, 2]
+    ry = packed_cols[:, 3]
+    valid = packed_cols[:, 4] > 0.5
 
-    x0 = jnp.clip(jnp.floor((cx - r) / tile), 0, tx_n - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((cx + r) / tile), 0, tx_n - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((cy - r) / tile), 0, ty_n - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((cy + r) / tile), 0, ty_n - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((cx - rx) / tile), 0, tx_n - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((cx + rx) / tile), 0, tx_n - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cy - ry) / tile), 0, ty_n - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cy + ry) / tile), 0, ty_n - 1).astype(jnp.int32)
     nx = jnp.where(valid, x1 - x0 + 1, 0)
     ny = jnp.where(valid, y1 - y0 + 1, 0)
     counts = nx * ny
@@ -85,25 +107,45 @@ def bin_splats(
     pos = jnp.where(sel, starts, pair_cap)  # unique marker per nonzero splat
     ids = jnp.arange(P, dtype=jnp.int32)
     t0 = y0 * tx_n + x0  # base tile id
-    # row-form scatter (contiguous (P, 4) updates) then one transpose —
-    # measured ~5x cheaper than a (4, N) column scatter on v5e
-    markers_rows = jnp.zeros((pair_cap, 4), jnp.int32).at[pos, :].max(
-        jnp.stack([ids, starts, t0, nx], axis=1), mode="drop"
+    cols = [ids, starts, t0, nx]
+    if rowcull is not None:
+        # float params ride the int32 fill-forward via bitcast (the kernel
+        # only selects/rolls, never does arithmetic on marker values);
+        # center (for the lowpass circle) + packed_cols[:, 5:11] = rowcull,
+        # all already permuted by the single consolidated gather above
+        cols += [
+            jax.lax.bitcast_convert_type(packed_cols[:, i], jnp.int32)
+            for i in (0, 1, 5, 6, 7, 8, 9, 10)
+        ]
+    # row-form scatter (contiguous (P, k) updates) then one transpose —
+    # measured ~5x cheaper than a (k, N) column scatter on v5e. .set (not
+    # .max): bitcast floats can be negative ints; `pos` is unique by
+    # construction (distinct starts per selected splat).
+    markers_rows = jnp.zeros((pair_cap, len(cols)), jnp.int32).at[pos, :].set(
+        jnp.stack(cols, axis=1), mode="drop"
     )
     markers = markers_rows.T
     mvalid = jnp.zeros((pair_cap,), jnp.int32).at[pos].set(1, mode="drop")
-    gid, start_s, t0_s, nx_s = fill_forward(markers, mvalid,
-                                            interpret=interpret)
+    filled = fill_forward(markers, mvalid, interpret=interpret)
+    gid, start_s, t0_s, nx_s = filled[:4]
     nx_s = jnp.maximum(nx_s, 1)
 
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, pair_cap)
     k = slots - start_s
-    tid = jnp.where(
-        in_range,
-        t0_s + jax.lax.div(k, nx_s) * tx_n + jax.lax.rem(k, nx_s),
-        num_tiles,
-    )
+    ty_s = jax.lax.div(t0_s, tx_n) + jax.lax.div(k, nx_s)
+    xt_s = jax.lax.rem(t0_s, tx_n) + jax.lax.rem(k, nx_s)
+    tid = jnp.where(in_range, ty_s * tx_n + xt_s, num_tiles)
+    if rowcull is not None:
+        f32 = lambda i: jax.lax.bitcast_convert_type(filled[i], jnp.float32)
+        ctr = jnp.stack([f32(4), f32(5)], axis=-1)
+        rc = jnp.stack([f32(6 + i) for i in range(6)], axis=-1)
+        yb0 = (ty_s * tile).astype(jnp.float32)
+        yb1 = yb0 + (tile - 1)
+        x_lo, x_hi = snug_row_interval(ctr, rc, yb0, yb1, lowpass_r)
+        xt_f = xt_s.astype(jnp.float32) * tile
+        keep = (xt_f + (tile - 1) >= x_lo) & (xt_f <= x_hi)
+        tid = jnp.where(keep, tid, num_tiles)
 
     # ---- stable single-key sort: tile-major, depth order preserved ----
     # When (tile id, depth rank) packs into 31 bits, sort ONE int32 array

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 
 from envgs_tpu.ops import raster_pallas as rp
 from envgs_tpu.ops.binning import bin_splats, tile_dims
-from envgs_tpu.ops.common import PreparedSplats, prepare_splats
+from envgs_tpu.ops.common import (
+    ROWCULL_LOWPASS_R,
+    PreparedSplats,
+    prepare_splats,
+)
 from envgs_tpu.ops.raster_ref import RasterOutput, rasterize_reference
 from envgs_tpu.ops.segsum import gather_rows
 from envgs_tpu.utils.camera import Camera
@@ -101,7 +105,7 @@ def rasterize(
     tiles_x, tiles_y = tile_dims(Hp, Wp, rp.TILE)
 
     bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK,
-                      interpret=interpret)
+                      interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R)
     packed = _pack_table(prep, bins.order)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
         packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret

@@ -34,7 +34,9 @@ from envgs_tpu.ops.common import (
     ALPHA_MAX,
     ALPHA_MIN,
     NEAR_PLANE,
+    ROWCULL_LEVEL,
     T_CUTOFF,
+    rowcull_params,
 )
 from envgs_tpu.utils.camera import Camera
 from envgs_tpu.utils.transforms import quat_to_rotmat
@@ -54,6 +56,10 @@ class Prepared3DSplats(NamedTuple):
     color: jnp.ndarray  # (P, C) per-splat channels
     opacity: jnp.ndarray  # (P,)
     valid: jnp.ndarray  # (P,) bool
+    ext: jnp.ndarray  # (P, 2) snug per-axis half-extents (3-sigma ellipse
+    #   AABB: 3*sqrt(cov_xx), 3*sqrt(cov_yy)); binning uses the rect
+    rowcull: jnp.ndarray  # (P, 6) per-tile-row interval params at the
+    #   alpha-floor iso-level (ops/common.rowcull_params on the conic)
 
 
 def prepare_splats3d(
@@ -140,6 +146,9 @@ def prepare_splats3d(
     mid = 0.5 * (a + c)
     lam = mid + jnp.sqrt(jnp.clip(mid * mid - det, 0.1, None))
     radius = jnp.ceil(CUTOFF * jnp.sqrt(lam))
+    # snug per-axis extents: the 3-sigma ellipse's exact AABB
+    bx = jnp.ceil(CUTOFF * jnp.sqrt(jnp.clip(a, 0.0, None)))
+    by = jnp.ceil(CUTOFF * jnp.sqrt(jnp.clip(c, 0.0, None)))
 
     # projected center
     Mp = cam.pix_from_world  # (3, 4)
@@ -158,6 +167,14 @@ def prepare_splats3d(
     )
     valid = valid & in_img
     radius = jnp.where(valid, radius, 0.0)
+    ext = jnp.stack([bx, by], axis=-1) * valid[:, None]
+    # footprint quadratic IS the conic: {conic_a dx^2 + 2 conic_b dx dy +
+    # conic_c dy^2 <= ROWCULL_LEVEL}
+    rowcull = rowcull_params(
+        center_pix[:, 0], center_pix[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        jnp.full_like(conic[:, 0], ROWCULL_LEVEL),
+    )
 
     return Prepared3DSplats(
         conic=conic,
@@ -167,6 +184,8 @@ def prepare_splats3d(
         color=colors,
         opacity=opacities,
         valid=valid,
+        ext=ext,
+        rowcull=rowcull,
     )
 
 
@@ -226,7 +245,7 @@ def rasterize3d_reference(
     color = prep.color[order]
     opac = prep.opacity[order]
     valid = prep.valid[order]
-    radius = prep.radius[order]
+    extv = prep.ext[order]
 
     jj, ii = jnp.meshgrid(
         jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32)
@@ -234,7 +253,7 @@ def rasterize3d_reference(
 
     def body(carry, xs):
         acc, T, wet_s = carry
-        cn, ce, z, col, o, ok, r = xs
+        cn, ce, z, col, o, ok, ex = xs
         dx = jj - ce[0]
         dy = ii - ce[1]
         power = -0.5 * (cn[0] * dx * dx + cn[2] * dy * dy) - cn[1] * dx * dy
@@ -245,10 +264,10 @@ def rasterize3d_reference(
         tile = 16.0
         tpx = jnp.floor(jj / tile)
         tpy = jnp.floor(ii / tile)
-        x0 = jnp.floor((ce[0] - r) / tile)
-        x1 = jnp.floor((ce[0] + r) / tile)
-        y0 = jnp.floor((ce[1] - r) / tile)
-        y1 = jnp.floor((ce[1] + r) / tile)
+        x0 = jnp.floor((ce[0] - ex[0]) / tile)
+        x1 = jnp.floor((ce[0] + ex[0]) / tile)
+        y0 = jnp.floor((ce[1] - ex[1]) / tile)
+        y1 = jnp.floor((ce[1] + ex[1]) / tile)
         in_tile = (tpx >= x0) & (tpx <= x1) & (tpy >= y0) & (tpy <= y1)
         use = ok & (a_px >= ALPHA_MIN) & (T > T_CUTOFF) & in_tile & (power <= 0)
         a_px = jnp.where(use, a_px, 0.0)
@@ -266,7 +285,7 @@ def rasterize3d_reference(
     )
     (acc, T, _), wet_sorted = jax.lax.scan(
         body, (acc0, jnp.ones((H, W)), 0.0),
-        (conic, center, depth, color, opac, valid, radius),
+        (conic, center, depth, color, opac, valid, extv),
     )
     wet = jnp.zeros((P,)).at[order].set(wet_sorted)
     rgb = acc["rgb"] + T[..., None] * jnp.broadcast_to(bg_color, (C,))

@@ -66,7 +66,7 @@ def rasterize_reference(
     color = prep.color[order]
     opac = prep.opacity[order]
     valid = prep.valid[order]
-    radius = prep.radius[order]
+    ext = prep.ext[order]
 
     jj, ii = jnp.meshgrid(
         jnp.arange(W, dtype=jnp.float32), jnp.arange(H, dtype=jnp.float32)
@@ -83,12 +83,12 @@ def rasterize_reference(
 
     def body(carry, xs):
         T, done, acc_rgb, acc_d, acc_a, acc_n, med, dist, d1, d2 = carry
-        tm, ce, nr, co, op, va, ra = xs
+        tm, ce, nr, co, op, va, ex = xs
         G, z = splat_response(tm, ce, px, py)
-        x0 = jnp.clip(jnp.floor((ce[0] - ra) / tile), 0, ntx - 1)
-        x1 = jnp.clip(jnp.floor((ce[0] + ra) / tile), 0, ntx - 1)
-        y0 = jnp.clip(jnp.floor((ce[1] - ra) / tile), 0, nty - 1)
-        y1 = jnp.clip(jnp.floor((ce[1] + ra) / tile), 0, nty - 1)
+        x0 = jnp.clip(jnp.floor((ce[0] - ex[0]) / tile), 0, ntx - 1)
+        x1 = jnp.clip(jnp.floor((ce[0] + ex[0]) / tile), 0, ntx - 1)
+        y0 = jnp.clip(jnp.floor((ce[1] - ex[1]) / tile), 0, nty - 1)
+        y1 = jnp.clip(jnp.floor((ce[1] + ex[1]) / tile), 0, nty - 1)
         inside = (tpx >= x0) & (tpx <= x1) & (tpy >= y0) & (tpy <= y1)
         alpha = jnp.minimum(ALPHA_MAX, op * G)
         live = va & inside & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE) & (~done)
@@ -122,7 +122,7 @@ def rasterize_reference(
         jnp.zeros((H, W), jnp.float32),
         jnp.zeros((H, W), jnp.float32),
     )
-    xs = (tmat, center, normal, color, opac, valid, radius)
+    xs = (tmat, center, normal, color, opac, valid, ext)
     (T, done, acc_rgb, acc_d, acc_a, acc_n, med, dist, d1, d2), wet_sorted = (
         jax.lax.scan(body, init, xs)
     )

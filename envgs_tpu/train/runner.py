@@ -83,6 +83,9 @@ class Runner:
         profiler_trace_dir: str | None = None,
         profiler_start: int = 10,
         profiler_steps: int = 5,
+        record_dir: str | None = None,
+        record: bool = True,
+        resolved_config: dict | None = None,
     ):
         self.views = views
         self.eval_views = eval_views or []
@@ -129,6 +132,17 @@ class Runner:
         self.timer_record_to_file = timer_record_to_file
         self.profiler = ProfilerSession(profiler_trace_dir, profiler_start,
                                         profiler_steps)
+
+        # tensorboard recorder (recorders.py:170-191 semantics): TRAIN
+        # scalars every log step, VAL summary + one render image per eval.
+        # Rank-0 only, like every other output service.
+        from envgs_tpu.parallel.multihost import is_main_process
+        from envgs_tpu.train.recorder import Recorder
+        self.recorder = Recorder(
+            record_dir or os.path.join(out_root, "record", exp_name),
+            enabled=record and is_main_process(),
+            resolved_config=resolved_config,
+        )
 
     def _step_fn(self, cam: Camera):
         key = (cam.H, cam.W)
@@ -214,6 +228,7 @@ class Runner:
                 stats = {k: float(v) for k, v in stats.items()}
                 for k, v in stats.items():
                     smoothed[k].update(v)
+                self.recorder.record("TRAIN", stats, it=it)
                 done = it - self.start_iter + 1
                 eta = (time.time() - t_start) / max(done, 1) * (total - it - 1)
                 line = " ".join(
@@ -248,6 +263,7 @@ class Runner:
 
         self.save(total)
         self.profiler.close()
+        self.recorder.close()
         if self.timer_record_to_file:
             self.timer.dump(self.timer_record_to_file)
         return self.state
@@ -334,6 +350,7 @@ class Runner:
         )
         ev = Evaluator(result_dir)
         vis = Visualizer(result_dir, types=types) if save_images else None
+        rgb = None
         for i, view in enumerate(self.eval_views or self.views):
             cam = view["camera"]
             t0 = time.time()
@@ -348,5 +365,11 @@ class Runner:
         if vis:
             vis.summarize()
         summary = ev.summarize()
+        # VAL scalars + the last rendered eval view into tensorboard
+        self.recorder.record(
+            "VAL", {k: v for k, v in summary["summary"].items()
+                    if isinstance(v, (int, float)) and np.isfinite(v)},
+            image_stats={"RENDER": rgb} if rgb is not None else None,
+        )
         print(json.dumps(summary["summary"], indent=2))
         return summary

@@ -1,14 +1,56 @@
 import os
+import sys
 
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding logic
 # is exercised without TPU hardware (the driver separately dry-runs the real
-# multi-chip path). Must be set before jax import.
-os.environ["JAX_PLATFORMS"] = "cpu"  # the image presets JAX_PLATFORMS=axon
-# Skip axon PJRT registration (sitecustomize dials the TPU relay at python
-# startup — minutes of stall that CPU tests don't need). Harmless if unset.
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# multi-chip path on a spawn-time CPU mesh).
+#
+# This image's interpreter-startup hook (sitecustomize on PYTHONPATH) dials
+# the axon TPU backend whenever PALLAS_AXON_POOL_IPS is set — at interpreter
+# startup, i.e. BEFORE this conftest runs. In-process os.environ mutation is
+# therefore too late: jax.devices() stays bound to the single real TPU and
+# every test runs minutes-slow through the relay (and the 8-device sharding
+# tests fail their precondition). The only working recipe is to set the
+# platform env at process spawn — so if we detect the axon hook fired, we
+# re-exec pytest once with the corrected environment (in pytest_configure,
+# after suspending pytest's global fd capture so the child's output reaches
+# the terminal instead of the dead capture tempfile).
+_MARK = "ENVGS_TPU_TESTENV"
+
+
+def _want_env():
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize: skip axon registration
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    env[_MARK] = "1"
+    return env
+
+
+def pytest_configure(config):
+    if os.environ.get(_MARK) == "1":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        _want_env(),
+    )
+
+
+if os.environ.get(_MARK) != "1" and not os.environ.get(
+    "PALLAS_AXON_POOL_IPS"
+):
+    # Clean interpreter (no axon hook): in-process env set still works as
+    # long as jax has not been imported yet.
+    os.environ.update({k: v for k, v in _want_env().items() if k != _MARK})
