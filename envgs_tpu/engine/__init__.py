@@ -22,11 +22,14 @@ MODERATORS = Registry("moderators")
 RECORDERS = Registry("recorders")
 EVALUATORS = Registry("evaluators")
 VISUALIZERS = Registry("visualizers")
+# model-family training entry points, keyed by the reference sampler /
+# network registry names (the CLI's `type:`-driven dispatch)
+TRAINERS = Registry("trainers")
 
 __all__ = [
     "Config", "load_config", "merge_dotted", "Registry",
     "DATASETS", "DATALOADERS", "DATASAMPLERS", "MODELS", "CAMERAS",
     "SAMPLERS", "NETWORKS", "EMBEDDERS", "REGRESSORS", "RENDERERS",
     "SUPERVISORS", "RUNNERS", "OPTIMIZERS", "SCHEDULERS", "MODERATORS",
-    "RECORDERS", "EVALUATORS", "VISUALIZERS",
+    "RECORDERS", "EVALUATORS", "VISUALIZERS", "TRAINERS",
 ]
