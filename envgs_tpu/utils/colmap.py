@@ -159,10 +159,15 @@ def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
 def read_images_text(path: str) -> dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [
-            l.strip() for l in f if l.strip() and not l.strip().startswith("#")
-        ]
-    for i in range(0, len(lines), 2):
+        # keep EMPTY lines: every image record is exactly two lines and the
+        # points2D line is legally empty for images with no observations
+        lines = [l.strip() for l in f if not l.strip().startswith("#")]
+    # drop stray leading/trailing blanks so records stay two-aligned
+    while lines and not lines[0]:
+        lines.pop(0)
+    while len(lines) % 2 and not lines[-1]:
+        lines.pop()
+    for i in range(0, len(lines) - len(lines) % 2, 2):
         el = lines[i].split()
         iid = int(el[0])
         q = np.array([float(x) for x in el[1:5]])
