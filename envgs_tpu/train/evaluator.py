@@ -67,8 +67,16 @@ class Evaluator:
             "time": render_time,
         }
         if self.compute_lpips:
-            lp = lpips_host(rgb, gt)
-            row["lpips"] = lp if lp is not None else float("nan")
+            # pure-JAX VGG16 LPIPS when weights are on disk (ops/lpips_jax),
+            # torch-host fallback otherwise, NaN when neither is available
+            from envgs_tpu.ops.lpips_jax import jitted_lpips
+
+            jfn = jitted_lpips()
+            if jfn is not None:
+                row["lpips"] = float(jfn(jnp.asarray(rgb), jnp.asarray(gt)))
+            else:
+                lp = lpips_host(rgb, gt)
+                row["lpips"] = lp if lp is not None else float("nan")
         self.rows.append(row)
         return row
 

@@ -149,9 +149,23 @@ class Runner:
         if key not in self._step_cache:
             self._step_cache[key] = make_train_step(
                 cam, self.model_cfg, self.loss_cfg, self.lr_base, self.lr_env,
-                has_norm=self.has_norm, cam_opt=self.cam_opt_cfg,
+                lpips_fn=self._lpips_fn(), has_norm=self.has_norm,
+                cam_opt=self.cam_opt_cfg,
             )
         return self._step_cache[key]
+
+    def _lpips_fn(self):
+        """Differentiable JAX LPIPS for the perceptual loss, when VGG16
+        weights exist on disk (envgs.yaml:80-81 trains it from iter 21k)."""
+        if self.loss_cfg.perc_loss_weight <= 0:
+            return None
+        import functools
+
+        from envgs_tpu.ops.lpips_jax import load_weights, lpips_pair
+
+        params = load_weights()
+        return (functools.partial(lpips_pair, params)
+                if params is not None else None)
 
     def _batch(self, view) -> Batch:
         H, W = view["camera"].H, view["camera"].W
