@@ -288,6 +288,9 @@ class EnvGSOutput(NamedTuple):
     env_wet: jnp.ndarray  # (Pe,)
     env_visibility: jnp.ndarray  # (Pe,) bool
     env_opacity: jnp.ndarray  # (Pe, 1) post-activation (sparsity loss)
+    # capacity truncation counters (0 = nothing silently dropped)
+    base_num_pairs: jnp.ndarray | None = None  # () raster pre-clamp pairs
+    env_dropped_pairs: jnp.ndarray | None = None  # () tracer dropped slots
 
 
 def forward_envgs(
@@ -345,7 +348,10 @@ def forward_envgs(
     def with_env(_):
         e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero,
                        ray_mask=ref_msk)
-        return e.rgb, e.dpt[..., None], e.acc[..., None], e.wet, e.trans
+        dp = (e.dropped_pairs if e.dropped_pairs is not None
+              else jnp.asarray(0, jnp.int32))
+        return (e.rgb, e.dpt[..., None], e.acc[..., None], e.wet, e.trans,
+                dp)
 
     def without_env(_):
         Pe = env.cap
@@ -355,15 +361,16 @@ def forward_envgs(
             jnp.zeros((H, W, 1)),
             jnp.zeros((Pe,)),
             jnp.ones((H, W)),
+            jnp.asarray(0, jnp.int32),
         )
 
     use_env = cfg.render_reflection and True
     if use_env:
-        env_rgb, env_dpt, env_acc, env_wet, _ = jax.lax.cond(
+        env_rgb, env_dpt, env_acc, env_wet, _, env_dropped = jax.lax.cond(
             it >= cfg.reflection_start_iter, with_env, without_env, None
         )
     else:
-        env_rgb, env_dpt, env_acc, env_wet, _ = without_env(None)
+        env_rgb, env_dpt, env_acc, env_wet, _, env_dropped = without_env(None)
 
     active = (it >= cfg.reflection_start_iter) & jnp.asarray(use_env)
     spec_eff = jnp.where(active, spec, jnp.zeros_like(spec))
@@ -396,4 +403,6 @@ def forward_envgs(
         env_wet=env_wet,
         env_visibility=env_wet > 0,
         env_opacity=env.get_opacity,
+        base_num_pairs=b.num_pairs,
+        env_dropped_pairs=env_dropped,
     )

@@ -141,6 +141,7 @@ def rasterize(
         wet=wet,
         radii=prep.radius,
         trans=trans,
+        num_pairs=bins.num_pairs,
     )
 
 
@@ -160,6 +161,7 @@ class RenderOutput(NamedTuple):
     wet: jnp.ndarray  # (P,)
     radii: jnp.ndarray  # (P,)
     visibility: jnp.ndarray  # (P,) bool
+    num_pairs: jnp.ndarray | None = None  # () pre-clamp pair count (raster)
 
 
 def depth_to_normal(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:
@@ -221,4 +223,5 @@ def render_decode(
         wet=out.wet,
         radii=out.radii,
         visibility=out.radii > 0,
+        num_pairs=out.num_pairs,
     )

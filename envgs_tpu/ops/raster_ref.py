@@ -47,6 +47,10 @@ class RasterOutput(NamedTuple):
     wet: jnp.ndarray  # (P,) per-splat accumulated blend weight
     radii: jnp.ndarray  # (P,) screen radii (0 = culled)
     trans: jnp.ndarray  # (H, W) final transmittance
+    num_pairs: jnp.ndarray | None = None  # () requested (splat, tile) pairs
+    #   BEFORE the pair_cap clamp — overflow (num_pairs > pair_cap) means
+    #   deterministic far-splat drops; surfaced in train stats (None on the
+    #   oracle path, which has no pair budget)
 
 
 def rasterize_reference(

@@ -286,10 +286,13 @@ def cull_and_sort(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
     )
     cap_aligned = -(-(T * K + T * CHUNK) // 1024) * 1024  # segsum granularity
+    dropped = jnp.asarray(0, jnp.int32)
     if total_pair_cap is not None:
         cap_aligned = min(cap_aligned, -(-total_pair_cap // 1024) * 1024)
         # tiles overflowing the global budget are dropped whole (their
-        # clamped range collapses to start == end)
+        # clamped range collapses to start == end); count the dropped slots
+        # so truncation is observable in training stats
+        dropped = jnp.maximum(poffs[-1] - cap_aligned, 0)
         poffs = jnp.where(poffs > cap_aligned, cap_aligned, poffs)
         poffs = jax.lax.cummax(poffs)
 
@@ -311,7 +314,7 @@ def cull_and_sort(
     gauss_aligned = jnp.where(
         valid_dst, idmat.reshape(-1)[flat], P
     )
-    return gauss_aligned, poffs
+    return gauss_aligned, poffs, dropped
 
 
 def _pack_scene_table(scene: TraceScene) -> jnp.ndarray:
@@ -880,7 +883,7 @@ def trace_rays(
             m.reshape(Hp // RTILE, RTILE, Wp // RTILE, RTILE)
             .transpose(0, 2, 1, 3).reshape(tiles.n_tiles, NRAY).any(axis=1)
         )
-    gauss_idx, bounds = cull_and_sort(
+    gauss_idx, bounds, dropped_pairs = cull_and_sort(
         tiles, scene, radius3, per_tile_cap=K, total_pair_cap=total_pair_cap,
         tile_mask=tile_mask,
     )
@@ -912,6 +915,7 @@ def trace_rays(
         aux=img[r["aux"]:r["aux"] + A].transpose(1, 2, 0),
         wet=wet,
         trans=trans,
+        dropped_pairs=jax.lax.stop_gradient(dropped_pairs),
     )
 
 

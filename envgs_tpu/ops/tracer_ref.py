@@ -37,6 +37,10 @@ class TraceOutput(NamedTuple):
     aux: jnp.ndarray  # (..., A) extra blended channels (spec+rough)
     wet: jnp.ndarray  # (P,)
     trans: jnp.ndarray  # (...,) final transmittance
+    dropped_pairs: jnp.ndarray | None = None  # () candidate slots dropped by
+    #   the tiled tracer's total_pair_cap tile clamp (0 = no truncation;
+    #   None on the exact reference path). Surfaced in train stats so a
+    #   quality-vs-cap regression is visible, not silent.
 
 
 class TraceScene(NamedTuple):

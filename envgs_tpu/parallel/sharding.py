@@ -17,15 +17,24 @@ image the affected rows are <2%.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from envgs_tpu.models import gaussians as G
+from envgs_tpu.models.camera_opt import CameraResiduals, apply_residual
 from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
 from envgs_tpu.train.optimizer import LRConfig, lr_tree_for, sparse_adam_update
 from envgs_tpu.train.supervisor import LossConfig, compute_losses
-from envgs_tpu.train.trainer import Batch, TrainState
+from envgs_tpu.train.trainer import (
+    Batch,
+    CamOptConfig,
+    CamOptState,
+    TrainState,
+    init_cam_opt,
+)
 from envgs_tpu.utils.camera import Camera
 
 
@@ -43,10 +52,20 @@ def make_sharded_train_step(
     lr_env: LRConfig,
     has_norm: bool = False,
     axis: str = "band",
+    lpips_fn=None,
+    cam_opt: CamOptConfig = CamOptConfig(),
 ):
-    """Band-parallel jitted train step: step(state, batch, K, R, T, it).
+    """Band-parallel jitted train step: step(state, batch, K, R, T, it) —
+    or, with cam_opt.enabled, step(state, cam_state, batch, K, R, T,
+    view_idx, it) returning (state, cam_state, stats).
 
-    Batch images must have H divisible by (n_bands * 16).
+    Feature-parity contract with trainer.make_train_step (single-chip and
+    band-parallel training must not diverge): densification-gradient width
+    follows use_base_tracing, the perceptual-loss hook and camera residuals
+    apply per band (residual on the full camera, then the band's intrinsics
+    shift), and max SH degrees are read from the pools' static pytree aux
+    (part of the jit cache key) instead of mutable closure state. Batch
+    images must have H divisible by (n_bands * 16).
     """
     n_bands = mesh.shape[axis]
     H, W = cam.H, cam.W
@@ -54,20 +73,26 @@ def make_sharded_train_step(
         f"H={H} must split into {n_bands} bands of whole 16px tile rows"
     )
     band_h = H // n_bands
+    m2z_w = 3 if model_cfg.use_base_tracing else 2
 
-    def band_loss(bparams, bstats, eparams, estats, m2z, e3z,
-                  rgb, msk, norm, K, R, T, it):
+    def band_loss(msb, mse, bparams, bstats, eparams, estats, m2z, e3z, cres,
+                  rgb, msk, norm, K, R, T, view_idx, it):
         """Per-device on its (1, band_h, W, C) slice -> replicated scalars."""
+        camera = Camera(H, W, K, R, T, cam.znear, cam.zfar)
+        if cam_opt.enabled:
+            camera = apply_residual(camera, cres, view_idx)
         idx = jax.lax.axis_index(axis)
         row0 = (idx * band_h).astype(jnp.float32)
-        Kb = K.at[1, 2].add(-row0)
-        camera = Camera(band_h, W, Kb, R, T, cam.znear, cam.zfar)
-        base = G.GaussianPool(bparams, bstats, _MAX_SH[0])
-        env = G.GaussianPool(eparams, estats, _MAX_SH[1])
+        Kb = camera.K.at[1, 2].add(-row0)
+        camera = Camera(band_h, W, Kb, camera.R, camera.T,
+                        cam.znear, cam.zfar)
+        base = G.GaussianPool(bparams, bstats, msb)
+        env = G.GaussianPool(eparams, estats, mse)
         out = forward_envgs(base, env, camera, it, model_cfg, m2z, e3z)
         loss, stats = compute_losses(
             out, rgb[0], msk[0], norm[0] if has_norm else None,
-            R, it, loss_cfg, bg_brightness=model_cfg.bg_brightness,
+            camera.R, it, loss_cfg, bg_brightness=model_cfg.bg_brightness,
+            lpips_fn=lpips_fn,
         )
         loss = jax.lax.pmean(loss, axis)
         stats = {k: jax.lax.pmean(v, axis) for k, v in stats.items()}
@@ -79,13 +104,10 @@ def make_sharded_train_step(
         )
         return loss, (stats, aux)
 
-    _MAX_SH = [3, 3]
-
-    def step(state: TrainState, batch: Batch, K, R, T, it):
+    def _step_impl(state: TrainState, cam_state: CamOptState, batch: Batch,
+                   K, R, T, view_idx, it):
         base, env = state.base, state.env
-        _MAX_SH[0] = base.max_sh_degree
-        _MAX_SH[1] = env.max_sh_degree
-        m2z = jnp.zeros((base.cap, 2))
+        m2z = jnp.zeros((base.cap, m2z_w))
         e3z = jnp.zeros((env.cap, 3))
 
         def bandify(x):
@@ -96,28 +118,44 @@ def make_sharded_train_step(
         norm_b = bandify(batch.norm)
 
         smapped = jax.shard_map(
-            band_loss,
+            functools.partial(band_loss, base.max_sh_degree,
+                              env.max_sh_degree),
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(),
-                      P(axis), P(axis), P(axis), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                      P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
             out_specs=(P(), (P(), P())),
             check_vma=False,  # pallas_call out_shapes carry no vma info
         )
 
-        def loss_fn(bparams, eparams, m2z, e3z):
+        def loss_fn(bparams, eparams, m2z, e3z, cres):
             return smapped(bparams, base.stats, eparams, env.stats, m2z, e3z,
-                           rgb_b, msk_b, norm_b, K, R, T, it)
+                           cres, rgb_b, msk_b, norm_b, K, R, T, view_idx, it)
 
+        argnums = (0, 1, 2, 3, 4) if cam_opt.enabled else (0, 1, 2, 3)
         (loss, (stats, aux)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-        )(base.params, env.params, m2z, e3z)
-        g_base, g_env, g_m2z, g_e3z = grads
+            loss_fn, argnums=argnums, has_aux=True
+        )(base.params, env.params, m2z, e3z, cam_state.res)
+        g_base, g_env, g_m2z, g_e3z = grads[:4]
         base_wet, base_radii, base_vis, env_wet = aux
 
         new_bp, opt_base = sparse_adam_update(
             base.params, g_base, state.opt_base, lr_tree_for(it, lr_base))
         new_ep, opt_env = sparse_adam_update(
             env.params, g_env, state.opt_env, lr_tree_for(it, lr_env))
+
+        if cam_opt.enabled:
+            g_cam: CameraResiduals = grads[4]
+            if cam_opt.freeze_extri:
+                g_cam = g_cam._replace(se3=jnp.zeros_like(g_cam.se3))
+            if cam_opt.freeze_intri:
+                g_cam = g_cam._replace(intr=jnp.zeros_like(g_cam.intr))
+            cam_lrs = CameraResiduals(
+                se3=jnp.asarray(cam_opt.extri_lr, jnp.float32),
+                intr=jnp.asarray(cam_opt.intri_lr, jnp.float32),
+            )
+            new_res, new_copt = sparse_adam_update(
+                cam_state.res, g_cam, cam_state.opt, cam_lrs, eps=1e-15)
+            cam_state = CamOptState(new_res, new_copt)
 
         b_stats = G.accumulate_stats(
             base.stats, g_m2z, base_vis > 0, weight=base_wet, radii=base_radii)
@@ -128,6 +166,16 @@ def make_sharded_train_step(
             env._replace(params=new_ep, stats=e_stats),
             opt_base, opt_env, state.key,
         )
+        return new_state, cam_state, stats
+
+    if cam_opt.enabled:
+        return jax.jit(_step_impl)
+
+    dummy_cam = init_cam_opt(1)
+
+    def step(state: TrainState, batch: Batch, K, R, T, it):
+        new_state, _, stats = _step_impl(
+            state, dummy_cam, batch, K, R, T, jnp.asarray(0), it)
         return new_state, stats
 
     return jax.jit(step)

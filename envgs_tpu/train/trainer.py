@@ -229,6 +229,14 @@ def make_train_step(
         stats = dict(stats)
         stats["num_pts"] = base.n_active
         stats["env_num_pts"] = env.n_active
+        # capacity-truncation counters (VERDICT: no silent drops) — nonzero
+        # pair_overflow means the raster pair budget clipped far splats;
+        # trace_dropped counts tracer candidate slots lost to total_pair_cap
+        if out.base_num_pairs is not None:
+            stats["pair_overflow"] = jnp.maximum(
+                out.base_num_pairs - model_cfg.pair_cap, 0)
+        if out.env_dropped_pairs is not None:
+            stats["trace_dropped"] = out.env_dropped_pairs
         return new_state, cam_state, stats
 
     if cam_opt.enabled:

@@ -69,7 +69,7 @@ NT = int(tiles.n_tiles)  # static for jit (RayTiles.n_tiles is a python int)
 cull_fn = jax.jit(lambda rays, ap, ax, th, sp, s, r: tr.cull_and_sort(
     tr.RayTiles(rays, ap, ax, th, sp, NT), s, r,
     per_tile_cap=KTILE, total_pair_cap=CAP))
-gauss_idx, bounds = timeit(
+gauss_idx, bounds, _dropped = timeit(
     cull_fn, tiles.rays, tiles.apex, tiles.axis, tiles.tan_half,
     tiles.spread, scene, radius3, name=f"cull_and_sort K={KTILE}")
 print("  total pairs:", int(bounds[-1]), "/ cap", gauss_idx.shape[0])
@@ -93,3 +93,29 @@ timeit(bwd_fn, pd16, tiles.rays, bounds, tiles_out,
 full_fn = jax.jit(lambda s, o, d: tr.trace_rays(
     s, o, d, bg, per_tile_cap=KTILE, total_pair_cap=CAP))
 timeit(full_fn, scene, ray_o, ray_d, name="trace_rays end-to-end")
+
+
+# full forward+backward (training regime): grads w.r.t. scene arrays AND
+# ray origins/directions (the reflect-ray chain needs both)
+def _loss(m, q, sc, op, co, o, d):
+    s = prepare_trace_scene(m, q, sc, op, co)
+    out = tr.trace_rays(s, o, d, bg, per_tile_cap=KTILE, total_pair_cap=CAP)
+    return (jnp.sum(out.rgb) + jnp.sum(out.dpt) + jnp.sum(out.acc)
+            + jnp.sum(out.norm))
+
+
+grad_all = jax.jit(jax.grad(_loss, argnums=(0, 1, 2, 3, 4, 5, 6)))
+timeit(grad_all, mean, quat, scales, opac, colors, ray_o, ray_d,
+       name="trace fwd+bwd (params+rays)")
+
+grad_scene = jax.jit(jax.grad(_loss, argnums=(0, 1, 2, 3, 4)))
+timeit(grad_scene, mean, quat, scales, opac, colors, ray_o, ray_d,
+       name="trace fwd+bwd (params only)")
+
+# isolate the pair-grad transpose (segmented sum over the aligned cap)
+from envgs_tpu.ops.segsum import gather_transpose
+
+g_pair = jnp.ones((gauss_idx.shape[0], 128), jnp.float32)
+gt_fn = jax.jit(lambda g, i: gather_transpose(g, i, P + 1, P + 1, False))
+timeit(gt_fn, g_pair, gauss_idx, name="gather_transpose (cap,128)")
+

@@ -67,6 +67,62 @@ def test_band_parallel_matches_single_chip():
     )
 
 
+def test_band_parallel_camopt_and_base_tracing():
+    """Sharded-step feature parity: camera-residual optimization and the
+    use_base_tracing m2z width must match the single-chip step (the two
+    paths share the forward; this guards against future drift)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    from envgs_tpu.train.trainer import CamOptConfig, init_cam_opt
+
+    H, W = 128, 32
+    cam = _cam(H, W, f=40.0)
+    base, env = _pools(seed=7)
+    cfg = EnvGSConfig(
+        raster_backend="ref", tracer_backend="ref", use_base_tracing=True,
+        pair_cap=2 ** 12, reflection_start_iter=0,
+    )
+    loss_cfg = LossConfig(
+        img_loss_weight=1.0, ssim_loss_weight=0.0, gs_norm_loss_weight=0.0,
+        norm_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    lr = LRConfig(use_opacity_pulse=False)
+    copt = CamOptConfig(enabled=True, extri_lr=1e-4, intri_lr=1e-6)
+    rng = np.random.default_rng(1)
+    batch = Batch(
+        rgb=jnp.asarray(rng.random((H, W, 3)).astype(np.float32)),
+        msk=jnp.ones((H, W, 1)),
+        norm=jnp.zeros((H, W, 3)),
+    )
+    it = jnp.asarray(5)
+    vi = jnp.asarray(2)
+
+    step1 = make_train_step(cam, cfg, loss_cfg, lr, lr, donate=False,
+                            cam_opt=copt)
+    s1 = init_train_state(base, env, jax.random.PRNGKey(0))
+    c1 = init_cam_opt(4)
+    s1n, c1n, stats1 = step1(s1, c1, batch, cam.K, cam.R, cam.T, vi, it)
+
+    mesh = make_mesh(8)
+    step8 = make_sharded_train_step(mesh, cam, cfg, loss_cfg, lr, lr,
+                                    cam_opt=copt)
+    s8 = init_train_state(base, env, jax.random.PRNGKey(0))
+    c8 = init_cam_opt(4)
+    s8n, c8n, stats8 = step8(s8, c8, batch, cam.K, cam.R, cam.T, vi, it)
+
+    np.testing.assert_allclose(
+        float(stats8["img_loss"]), float(stats1["img_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.params.xyz), np.asarray(s1n.base.params.xyz),
+        atol=2e-5)
+    # camera residuals optimized identically (gradients all-reduced)
+    np.testing.assert_allclose(
+        np.asarray(c8n.res.se3), np.asarray(c1n.res.se3), atol=1e-7)
+    # world-space densification grads (m2z width 3 under base tracing)
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.stats.grad_accum),
+        np.asarray(s1n.base.stats.grad_accum), rtol=5e-3, atol=1e-6)
+
+
 def test_multihost_helpers():
     """Single-host semantics of the multi-host orchestration helpers."""
     from envgs_tpu.parallel import multihost as mh
