@@ -8,8 +8,11 @@ pass are cheap. Pipeline:
 
 1. splats are PRE-SORTED BY DEPTH (one P argsort); splat index order ==
    blend order from here on — per-pair depth keys become unnecessary;
-2. per-splat attributes broadcast to pair slots through ONE multi-channel
-   fill-forward pass (ops/fill_forward.py) over scattered markers;
+2. per-splat attributes broadcast to pair slots via ONE width-1 scatter of
+   the splat id at each run start + a cummax sweep (ids ascend in depth
+   order so running max == fill-forward) + ONE consolidated per-slot row
+   gather — wide marker row-scatters measured ~100ns/row on v5e, ~2.5x the
+   cost of this scatter+cummax+gather decomposition;
 3. ONE single-key STABLE sort by tile id orders pairs (stability keeps the
    depth order within each tile);
 4. chunk alignment (tile ranges padded to the kernel chunk so blend DMA
@@ -102,33 +105,33 @@ def bin_splats(
     starts = ends - counts
     total = ends[-1] if P > 0 else jnp.asarray(0, jnp.int32)
 
-    # ---- broadcast per-splat values to pair slots: one fill-forward ----
+    # ---- broadcast per-splat values to pair slots ----
+    # A (cap, 12) marker row-scatter + 12-channel fill-forward measured
+    # 37.7 + 10.2 ms at a 2M cap on v5e (scatter cost scales with scattered
+    # row width). Instead: ONE width-1 scatter of the depth-order splat id
+    # at each selected start (3 ms), a cummax sweep (ids ascend in depth
+    # order, so running max == fill-forward; 2 ms), then ONE consolidated
+    # per-slot row gather of the per-splat columns (~15 ms, row-rate bound).
     sel = counts > 0
-    pos = jnp.where(sel, starts, pair_cap)  # unique marker per nonzero splat
+    pos = jnp.where(sel, starts, pair_cap)  # unique ascending per selection
     ids = jnp.arange(P, dtype=jnp.int32)
     t0 = y0 * tx_n + x0  # base tile id
-    cols = [ids, starts, t0, nx]
+    sid = jnp.zeros((pair_cap,), jnp.int32).at[pos].set(ids, mode="drop")
+    gid = jax.lax.cummax(sid)  # per-slot source splat (depth order)
+    cols = [starts, t0, jnp.maximum(nx, 1)]
     if rowcull is not None:
-        # float params ride the int32 fill-forward via bitcast (the kernel
-        # only selects/rolls, never does arithmetic on marker values);
-        # center (for the lowpass circle) + packed_cols[:, 5:11] = rowcull,
-        # all already permuted by the single consolidated gather above
+        # float params ride the int32 table via bitcast (nothing does
+        # arithmetic on them before the bitcast back); center (for the
+        # lowpass circle) + packed_cols[:, 5:11] = rowcull, all already
+        # permuted by the single consolidated gather above
         cols += [
             jax.lax.bitcast_convert_type(packed_cols[:, i], jnp.int32)
             for i in (0, 1, 5, 6, 7, 8, 9, 10)
         ]
-    # row-form scatter (contiguous (P, k) updates) then one transpose —
-    # measured ~5x cheaper than a (k, N) column scatter on v5e. .set (not
-    # .max): bitcast floats can be negative ints; `pos` is unique by
-    # construction (distinct starts per selected splat).
-    markers_rows = jnp.zeros((pair_cap, len(cols)), jnp.int32).at[pos, :].set(
-        jnp.stack(cols, axis=1), mode="drop"
-    )
-    markers = markers_rows.T
-    mvalid = jnp.zeros((pair_cap,), jnp.int32).at[pos].set(1, mode="drop")
-    filled = fill_forward(markers, mvalid, interpret=interpret)
-    gid, start_s, t0_s, nx_s = filled[:4]
-    nx_s = jnp.maximum(nx_s, 1)
+    table = jnp.stack(cols, axis=1)  # (P, 3 or 11) int32
+    filled_rows = table[gid]  # (cap, k)
+    start_s, t0_s, nx_s = (filled_rows[:, 0], filled_rows[:, 1],
+                           filled_rows[:, 2])
 
     slots = jnp.arange(pair_cap, dtype=jnp.int32)
     in_range = slots < jnp.minimum(total, pair_cap)
@@ -137,9 +140,10 @@ def bin_splats(
     xt_s = jax.lax.rem(t0_s, tx_n) + jax.lax.rem(k, nx_s)
     tid = jnp.where(in_range, ty_s * tx_n + xt_s, num_tiles)
     if rowcull is not None:
-        f32 = lambda i: jax.lax.bitcast_convert_type(filled[i], jnp.float32)
-        ctr = jnp.stack([f32(4), f32(5)], axis=-1)
-        rc = jnp.stack([f32(6 + i) for i in range(6)], axis=-1)
+        f32 = lambda i: jax.lax.bitcast_convert_type(
+            filled_rows[:, i], jnp.float32)
+        ctr = jnp.stack([f32(3), f32(4)], axis=-1)
+        rc = jnp.stack([f32(5 + i) for i in range(6)], axis=-1)
         yb0 = (ty_s * tile).astype(jnp.float32)
         yb1 = yb0 + (tile - 1)
         x_lo, x_hi = snug_row_interval(ctr, rc, yb0, yb1, lowpass_r)

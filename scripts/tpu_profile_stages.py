@@ -31,12 +31,19 @@ cam = make_camera(H, W, K, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
 args = tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
 
 
+def _sync(out):
+    # axon block_until_ready caveat: force a data fetch
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.asarray(leaf).ravel()[0])
+
+
 def timeit(fn, *a, n=5, name=""):
-    out = jax.block_until_ready(fn(*a))
+    out = fn(*a)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*a)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name}: {dt*1000:.2f} ms")
     return out
