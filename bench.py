@@ -56,6 +56,7 @@ def main():
     cfg = EnvGSConfig(
         raster_backend="pallas", tracer_backend="tiled",
         pair_cap=2 ** 21, env_pair_cap=2 ** 21, reflection_start_iter=0,
+        render_mode=True,  # strip training-only kernel work (rgb identical)
     )
 
     fwd = jax.jit(lambda b, e, it: forward_envgs(b, e, cam, it, cfg).rgb_map)

@@ -58,6 +58,13 @@ class EnvGSConfig(NamedTuple):
     specular_filtering_start_iter: int = -1
     specular_filtering_percent: float = 0.9
     acc_filtering_start_iter: int = -1
+    # Pure-render mode: strips training-only kernel work (distortion prefix
+    # sums, per-pair wet accumulation + segment reduction, median depth when
+    # depth_ratio == 0) from the Pallas blend kernels. Forward outputs that
+    # feed losses/densification (dist_map, wet, visibility-from-wet) become
+    # zeros; rgb/depth/normal/acc are bit-identical. Autodiff ignores the
+    # flag (the VJP forward always computes everything).
+    render_mode: bool = False
 
 
 def _bisect_quantile01(x: jnp.ndarray, q: float, iters: int = 10) -> jnp.ndarray:
@@ -121,9 +128,11 @@ def render_base(
         active=pool.stats.active,
     )
     bg = jnp.full((3,), cfg.bg_brightness, jnp.float32)
+    train = not cfg.render_mode
     out = rasterize(
         prep, cam, bg, backend=cfg.raster_backend, pair_cap=cfg.pair_cap,
         means2d_zero=means2d_zero,
+        needs=(train, train or cfg.depth_ratio > 0, train),
     )
     return render_decode(
         out, cam,
@@ -169,9 +178,11 @@ def render_base_traced(
     if cfg.tracer_backend == "ref":
         t = trace_rays_reference(scene, ray_o, d, bg)
     else:
+        train = not cfg.render_mode
         t = tracer.trace_rays(scene, ray_o, d, bg,
                               backend=cfg.tracer_backend,
-                              total_pair_cap=cfg.pair_cap)
+                              total_pair_cap=cfg.pair_cap,
+                              needs=(train, train))
     # in-frustum projection visibility (optix_utils.py:203-213)
     prep = prepare_splats(
         xyz, pool.params.rotation, pool.get_scaling, pool.get_opacity[:, 0],
@@ -249,10 +260,11 @@ def render_env(
         return out
     if cfg.tracer_backend == "ref":
         return trace_rays_reference(scene, ref_o, ref_d, bg)
+    train = not cfg.render_mode
     return tracer.trace_rays(scene, ref_o, ref_d, bg,
                              backend=cfg.tracer_backend,
                              total_pair_cap=cfg.env_pair_cap,
-                             ray_mask=ray_mask)
+                             ray_mask=ray_mask, needs=(train, train))
 
 
 def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray) -> jnp.ndarray:

@@ -90,8 +90,13 @@ def rasterize(
     backend: str = "pallas",
     pair_cap: int = 2 ** 21,
     means2d_zero: jnp.ndarray | None = None,
+    needs: tuple = (True, True, True),
 ) -> RasterOutput:
-    """Rasterize prepared splats into the reference's raw output maps."""
+    """Rasterize prepared splats into the reference's raw output maps.
+
+    needs = (need_dist, need_med, need_wet) strips training-only work
+    (distortion sums, median depth, per-pair wet + its segment reduction)
+    from pure-render calls; autodiff always computes everything."""
     if backend == "ref":
         prep = _shift_tmat(prep, means2d_zero)
         return rasterize_reference(prep, cam, bg_color)
@@ -108,7 +113,8 @@ def rasterize(
                       interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R)
     packed = _pack_table(prep, bins.order)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
-        packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret
+        packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret,
+        "surfel", needs,
     )
 
     # decode tile blocks -> images
@@ -124,12 +130,15 @@ def rasterize(
     # per-splat accumulated weights (sentinel row dropped); the segment ids
     # are in depth order, so scatter back through the permutation
     P = prep.depth.shape[0]
-    wet_sorted = jax.ops.segment_sum(
-        jax.lax.stop_gradient(wet_pairs),
-        bins.gauss_idx,
-        num_segments=P + 1,
-    )[:P]
-    wet = jnp.zeros((P,), jnp.float32).at[bins.order].set(wet_sorted)
+    if needs[2]:
+        wet_sorted = jax.ops.segment_sum(
+            jax.lax.stop_gradient(wet_pairs),
+            bins.gauss_idx,
+            num_segments=P + 1,
+        )[:P]
+        wet = jnp.zeros((P,), jnp.float32).at[bins.order].set(wet_sorted)
+    else:
+        wet = jnp.zeros((P,), jnp.float32)
 
     return RasterOutput(
         rgb=rgb,

@@ -211,7 +211,8 @@ def _dmap_dz(z):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
-                pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode="surfel"):
+                pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode="surfel",
+                need_dist=True, need_med=True, need_wet=True):
     r = _rows(C)
     t = pl.program_id(0)
     start = bounds_ref[t]
@@ -257,19 +258,20 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             contrib = amask & (Ttil * (1.0 - a) >= T_CUTOFF)
             w = jnp.where(contrib, a * Ttil, 0.0)
 
-            m = _map_depth(z)
-            wm = w * m
-            wm2 = wm * m
-            A_pre = acc_ref[r["alpha"]:r["alpha"] + 1, :] + _cumsum_sublane(
-                w, CHUNK, exclusive=True
-            )
-            D1_pre = acc_ref[r["d1"]:r["d1"] + 1, :] + _cumsum_sublane(
-                wm, CHUNK, exclusive=True
-            )
-            D2_pre = acc_ref[r["d2"]:r["d2"] + 1, :] + _cumsum_sublane(
-                wm2, CHUNK, exclusive=True
-            )
-            dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
+            if need_dist:  # distortion loss terms: training only
+                m = _map_depth(z)
+                wm = w * m
+                wm2 = wm * m
+                A_pre = acc_ref[r["alpha"]:r["alpha"] + 1, :] + _cumsum_sublane(
+                    w, CHUNK, exclusive=True
+                )
+                D1_pre = acc_ref[r["d1"]:r["d1"] + 1, :] + _cumsum_sublane(
+                    wm, CHUNK, exclusive=True
+                )
+                D2_pre = acc_ref[r["d2"]:r["d2"] + 1, :] + _cumsum_sublane(
+                    wm2, CHUNK, exclusive=True
+                )
+                dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
 
             for i in range(C):
                 ci = _col32(d, _C_COLOR + i)
@@ -285,59 +287,67 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             acc_ref[r["alpha"]:r["alpha"] + 1, :] += jnp.sum(
                 w, axis=0, keepdims=True
             )
-            acc_ref[r["d1"]:r["d1"] + 1, :] += jnp.sum(wm, axis=0, keepdims=True)
-            acc_ref[r["d2"]:r["d2"] + 1, :] += jnp.sum(wm2, axis=0, keepdims=True)
-            acc_ref[r["dist"]:r["dist"] + 1, :] += jnp.sum(
-                dist_c, axis=0, keepdims=True
-            )
-            rank = (
-                (c * CHUNK).astype(jnp.float32)
-                + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0).astype(jnp.float32)
-            )
-            # median depth: z of the LAST contributor whose pre-blend T > 0.5
-            c2 = contrib & (Ttil > 0.5)
-            maxr = jnp.max(jnp.where(c2, rank, -1.0), axis=0, keepdims=True)
-            zmed = jnp.sum(
-                jnp.where(c2 & (rank == maxr), z, 0.0), axis=0, keepdims=True
-            )
-            acc_ref[r["med"]:r["med"] + 1, :] = jnp.where(
-                maxr >= 0, zmed, acc_ref[r["med"]:r["med"] + 1, :]
-            )
-            acc_ref[r["last"]:r["last"] + 1, :] = jnp.maximum(
-                acc_ref[r["last"]:r["last"] + 1, :],
-                jnp.max(jnp.where(contrib, rank, -1.0), axis=0, keepdims=True),
-            )
+            if need_dist:
+                acc_ref[r["d1"]:r["d1"] + 1, :] += jnp.sum(
+                    wm, axis=0, keepdims=True)
+                acc_ref[r["d2"]:r["d2"] + 1, :] += jnp.sum(
+                    wm2, axis=0, keepdims=True)
+                acc_ref[r["dist"]:r["dist"] + 1, :] += jnp.sum(
+                    dist_c, axis=0, keepdims=True
+                )
+            if need_dist or need_med:
+                rank = (
+                    (c * CHUNK).astype(jnp.float32)
+                    + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NPIX), 0).astype(jnp.float32)
+                )
+            if need_med:
+                # median depth: z of the LAST contributor with pre-blend T > 0.5
+                c2 = contrib & (Ttil > 0.5)
+                maxr = jnp.max(jnp.where(c2, rank, -1.0), axis=0, keepdims=True)
+                zmed = jnp.sum(
+                    jnp.where(c2 & (rank == maxr), z, 0.0), axis=0, keepdims=True
+                )
+                acc_ref[r["med"]:r["med"] + 1, :] = jnp.where(
+                    maxr >= 0, zmed, acc_ref[r["med"]:r["med"] + 1, :]
+                )
+            if need_dist:  # the bwd kernel's chunk cutoff reads `last`
+                acc_ref[r["last"]:r["last"] + 1, :] = jnp.maximum(
+                    acc_ref[r["last"]:r["last"] + 1, :],
+                    jnp.max(jnp.where(contrib, rank, -1.0), axis=0, keepdims=True),
+                )
             tcur[...] = tcur[...] * jnp.exp(
                 jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True)
             )
 
-            # per-pair accumulated blend weight ("wet") for this chunk.
-            # (CHUNK,1) -> (1,128) without a relayout: ones @ (wsum * eye)
-            wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
-            eye = (
-                jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-            ).astype(jnp.float32)
-            wet_vmem[...] = jnp.dot(
-                jnp.ones((1, CHUNK), jnp.float32), wsum * eye,
-                preferred_element_type=jnp.float32,
-            )
-            wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w
-            )
-            wr.start()
-            wr.wait()
+            if need_wet:
+                # per-pair accumulated blend weight ("wet") for this chunk.
+                # (CHUNK,1) -> (1,128) without a relayout: ones @ (wsum * eye)
+                wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+                ).astype(jnp.float32)
+                wet_vmem[...] = jnp.dot(
+                    jnp.ones((1, CHUNK), jnp.float32), wsum * eye,
+                    preferred_element_type=jnp.float32,
+                )
+                wr = pltpu.make_async_copy(
+                    wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w
+                )
+                wr.start()
+                wr.wait()
 
-        # dead chunks still need their wet rows zeroed
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            off = start + c * CHUNK
-            wet_vmem[...] = jnp.zeros_like(wet_vmem)
-            wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w
-            )
-            wr.start()
-            wr.wait()
+        if need_wet:
+            # dead chunks still need their wet rows zeroed
+            @pl.when(jnp.logical_not(alive))
+            def _():
+                off = start + c * CHUNK
+                wet_vmem[...] = jnp.zeros_like(wet_vmem)
+                wr = pltpu.make_async_copy(
+                    wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w
+                )
+                wr.start()
+                wr.wait()
 
         return 0
 
@@ -604,18 +614,25 @@ def _to_split16(pair_data):
     return split_bf16(pair_data[:, :LO])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
-                mode="surfel"):
+                mode="surfel", needs=(True, True, True)):
     """pair_data (CAP, DPAD) f32 logical, tile_bounds (T+1,) ->
     (tiles (T, FPAD, NPIX), wet (CAP,)). The kernels consume the split-bf16
-    form; gradients come back f32 in the logical layout."""
+    form; gradients come back f32 in the logical layout.
+
+    needs = (need_dist, need_med, need_wet): static switches that strip the
+    distortion prefix sums / median-depth tracking / per-pair wet writes
+    from the forward kernel for pure-render calls (~25% of the kernel's VPU
+    work). Under autodiff the VJP forward forces all three on, so training
+    is unaffected; with wet off the wet output is exact zeros."""
     return _blend_fwd_call(_to_split16(pair_data), tile_bounds, C, tiles_x,
-                           interpret, mode)
+                           interpret, mode, needs)
 
 
 def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
-                    mode="surfel"):
+                    mode="surfel", needs=(True, True, True)):
+    need_dist, need_med, need_wet = needs
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
     FPAD = _fpad(C)
@@ -642,7 +659,8 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
     def kernel(bounds_ref, pair_ref, out_ref, wet_ref, pair_vmem, wet_vmem,
                tcur, sem_p, sem_w):
         _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, out_ref.at[0], wet_ref,
-                    pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode)
+                    pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode,
+                    need_dist, need_med, need_wet)
 
     tiles_out, wet = pl.pallas_call(
         kernel,
@@ -654,17 +672,21 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_bounds, pair_data)
+    if not need_wet:  # buffer never written; replace with exact zeros
+        return tiles_out, jnp.zeros((cap,), jnp.float32)
     return tiles_out, wet[:, :CHUNK].reshape(cap)
 
 
 def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret,
-               mode="surfel"):
+               mode="surfel", needs=(True, True, True)):
+    del needs  # training path computes everything (bwd reads d1/d2/last/wet)
     pair16 = _to_split16(pair_data)
     out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
     return out, (pair16, tile_bounds, out[0])
 
 
-def _blend_bwd(C, tiles_x, interpret, mode, residuals, cotangents):
+def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents):
+    del needs  # forward-for-vjp ran with everything on
     pair_data, tile_bounds, tiles_out = residuals
     pair_data = _to_split16(pair_data)
     g_tiles, _g_wet = cotangents  # wet is treated as non-differentiable
@@ -719,9 +741,9 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 # Fused pair gather + blend (the production path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
-                       mode="surfel"):
+                       mode="surfel", needs=(True, True, True)):
     """packed (S, <=LO) f32 logical table, gauss_idx (CAP,) with sentinel
     S-1 -> (tiles (T, FPAD, NPIX), wet (CAP,)).
 
@@ -732,20 +754,22 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
     segmented-sum scan (ops/segsum.gather_transpose)."""
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
-    return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
+    return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
+                           needs)
 
 
 def _gbt_fwd(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
-             mode="surfel"):
+             mode="surfel", needs=(True, True, True)):
+    del needs  # training path computes everything (bwd reads d1/d2/last/wet)
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
     out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
     return out, (pair16, gauss_idx, tile_bounds, out[0], packed.shape)
 
 
-def _gbt_bwd(C, tiles_x, interpret, mode, residuals, cotangents):
+def _gbt_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents):
     pair16, gauss_idx, tile_bounds, tiles_out, pshape = residuals
-    g_pair = _blend_bwd(C, tiles_x, interpret, mode,
+    g_pair = _blend_bwd(C, tiles_x, interpret, mode, needs,
                         (pair16, tile_bounds, tiles_out), cotangents)[0]
     from envgs_tpu.ops.segsum import gather_transpose
 

@@ -383,7 +383,8 @@ def _ray_splat_terms(d, rays):
 
 
 def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
-                pair_vmem, wet_vmem, tcur, sem_p, sem_w):
+                pair_vmem, wet_vmem, tcur, sem_p, sem_w,
+                need_dist=True, need_wet=True):
     r = _rows(A)
     t_id = pl.program_id(0)
     start = bounds_ref[t_id]
@@ -428,16 +429,17 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             contrib = amask & (Ttil * (1.0 - a) >= T_CUTOFF)
             w = jnp.where(contrib, a * Ttil, 0.0)
 
-            m = t / (1.0 + jnp.abs(t))  # bounded distortion mapping (t>0: t/(1+t))
-            wm = w * m
-            wm2 = wm * m
-            A_pre = acc_ref[r["acc"]:r["acc"] + 1, :] + _cumsum_sublane(
-                w, CHUNK, exclusive=True)
-            D1_pre = acc_ref[r["d1"]:r["d1"] + 1, :] + _cumsum_sublane(
-                wm, CHUNK, exclusive=True)
-            D2_pre = acc_ref[r["d2"]:r["d2"] + 1, :] + _cumsum_sublane(
-                wm2, CHUNK, exclusive=True)
-            dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
+            if need_dist:  # distortion loss terms: training only
+                m = t / (1.0 + jnp.abs(t))  # bounded mapping (t>0: t/(1+t))
+                wm = w * m
+                wm2 = wm * m
+                A_pre = acc_ref[r["acc"]:r["acc"] + 1, :] + _cumsum_sublane(
+                    w, CHUNK, exclusive=True)
+                D1_pre = acc_ref[r["d1"]:r["d1"] + 1, :] + _cumsum_sublane(
+                    wm, CHUNK, exclusive=True)
+                D2_pre = acc_ref[r["d2"]:r["d2"] + 1, :] + _cumsum_sublane(
+                    wm2, CHUNK, exclusive=True)
+                dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
 
             for i in range(3):
                 ci = _col32(d, _C_COLOR + i)
@@ -452,40 +454,47 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             acc_ref[r["dpt"]:r["dpt"] + 1, :] += jnp.sum(
                 w * t, axis=0, keepdims=True)
             acc_ref[r["acc"]:r["acc"] + 1, :] += jnp.sum(w, axis=0, keepdims=True)
-            acc_ref[r["d1"]:r["d1"] + 1, :] += jnp.sum(wm, axis=0, keepdims=True)
-            acc_ref[r["d2"]:r["d2"] + 1, :] += jnp.sum(wm2, axis=0, keepdims=True)
-            acc_ref[r["dist"]:r["dist"] + 1, :] += jnp.sum(
-                dist_c, axis=0, keepdims=True)
-            rank = ((c * CHUNK).astype(jnp.float32)
-                    + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NRAY), 0).astype(jnp.float32))
-            acc_ref[r["last"]:r["last"] + 1, :] = jnp.maximum(
-                acc_ref[r["last"]:r["last"] + 1, :],
-                jnp.max(jnp.where(contrib, rank, -1.0), axis=0, keepdims=True))
+            if need_dist:
+                acc_ref[r["d1"]:r["d1"] + 1, :] += jnp.sum(
+                    wm, axis=0, keepdims=True)
+                acc_ref[r["d2"]:r["d2"] + 1, :] += jnp.sum(
+                    wm2, axis=0, keepdims=True)
+                acc_ref[r["dist"]:r["dist"] + 1, :] += jnp.sum(
+                    dist_c, axis=0, keepdims=True)
+                # the bwd kernel's chunk cutoff reads `last`
+                rank = ((c * CHUNK).astype(jnp.float32)
+                        + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NRAY), 0).astype(jnp.float32))
+                acc_ref[r["last"]:r["last"] + 1, :] = jnp.maximum(
+                    acc_ref[r["last"]:r["last"] + 1, :],
+                    jnp.max(jnp.where(contrib, rank, -1.0), axis=0,
+                            keepdims=True))
             tcur[...] = tcur[...] * jnp.exp(
                 jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True))
 
-            wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
-            eye = (
-                jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-            ).astype(jnp.float32)
-            wet_vmem[...] = jnp.dot(
-                jnp.ones((1, CHUNK), jnp.float32), wsum * eye,
-                preferred_element_type=jnp.float32,
-            )
-            wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w)
-            wr.start()
-            wr.wait()
+            if need_wet:
+                wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
+                eye = (
+                    jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+                ).astype(jnp.float32)
+                wet_vmem[...] = jnp.dot(
+                    jnp.ones((1, CHUNK), jnp.float32), wsum * eye,
+                    preferred_element_type=jnp.float32,
+                )
+                wr = pltpu.make_async_copy(
+                    wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w)
+                wr.start()
+                wr.wait()
 
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            off = start + c * CHUNK
-            wet_vmem[...] = jnp.zeros_like(wet_vmem)
-            wr = pltpu.make_async_copy(
-                wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w)
-            wr.start()
-            wr.wait()
+        if need_wet:
+            @pl.when(jnp.logical_not(alive))
+            def _():
+                off = start + c * CHUNK
+                wet_vmem[...] = jnp.zeros_like(wet_vmem)
+                wr = pltpu.make_async_copy(
+                    wet_vmem, wet_ref.at[pl.ds(jax.lax.div(off, CHUNK), 1), :], sem_w)
+                wr.start()
+                wr.wait()
 
         return 0
 
@@ -694,13 +703,16 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
 from envgs_tpu.ops.raster_pallas import _to_split16  # noqa: E402
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _blend_trace(pair_data, rays, tile_bounds, A, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _blend_trace(pair_data, rays, tile_bounds, A, interpret,
+                 needs=(True, True)):
     return _trace_fwd_call(_to_split16(pair_data), rays, tile_bounds, A,
-                           interpret)
+                           interpret, needs)
 
 
-def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
+def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
+                    needs=(True, True)):
+    need_dist, need_wet = needs
     cap = pair_data.shape[0]
     T = tile_bounds.shape[0] - 1
     FPAD = _fpad(A)
@@ -729,7 +741,8 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
     def kernel(bounds_ref, pair_ref, rays_ref, out_ref, wet_ref, pair_vmem,
                wet_vmem, tcur, sem_p, sem_w):
         _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, out_ref.at[0],
-                    wet_ref, pair_vmem, wet_vmem, tcur, sem_p, sem_w)
+                    wet_ref, pair_vmem, wet_vmem, tcur, sem_p, sem_w,
+                    need_dist, need_wet)
 
     tiles_out, wet = pl.pallas_call(
         kernel,
@@ -741,16 +754,21 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_bounds, pair_data, rays)
+    if not need_wet:  # buffer never written; replace with exact zeros
+        return tiles_out, jnp.zeros((cap,), jnp.float32)
     return tiles_out, wet[:, :CHUNK].reshape(cap)
 
 
-def _trace_fwd(pair_data, rays, tile_bounds, A, interpret):
+def _trace_fwd(pair_data, rays, tile_bounds, A, interpret,
+               needs=(True, True)):
+    del needs  # training path computes everything (bwd reads d1/d2/last/wet)
     pair16 = _to_split16(pair_data)
     out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
     return out, (pair16, rays, tile_bounds, out[0])
 
 
-def _trace_bwd(A, interpret, residuals, cotangents):
+def _trace_bwd(A, interpret, needs, residuals, cotangents):
+    del needs
     pair_data, rays, tile_bounds, tiles_out = residuals
     pair_data = _to_split16(pair_data)
     g_tiles, _g_wet = cotangents
@@ -810,8 +828,9 @@ _blend_trace.defvjp(_trace_fwd, _trace_bwd)
 # Fused pair gather + blend (the production path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, A, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, A, interpret,
+                        needs=(True, True)):
     """packed (S, <=LO) f32 logical scene table -> (tiles, wet).
 
     Fuses the per-pair row gather with the blend: the gather moves split-bf16
@@ -819,19 +838,22 @@ def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, A, interpret):
     blend's reverse kernel to per-pair f32 logical gradients and transposes
     the gather with the segmented-sum scan (ops/segsum.gather_transpose)."""
     pair16 = split_bf16(packed)[gauss_idx]
-    return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
+    return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs)
 
 
-def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, A, interpret):
+def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, A, interpret,
+             needs=(True, True)):
+    del needs  # training path computes everything (bwd reads d1/d2/last/wet)
     pair16 = split_bf16(packed)[gauss_idx]
     out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
     return out, (pair16, gauss_idx, rays, tile_bounds, out[0], packed.shape)
 
 
-def _gbt_bwd(A, interpret, residuals, cotangents):
+def _gbt_bwd(A, interpret, needs, residuals, cotangents):
     pair16, gauss_idx, rays, tile_bounds, tiles_out, pshape = residuals
     g_pair, g_rays, _ = _trace_bwd(
-        A, interpret, (pair16, rays, tile_bounds, tiles_out), cotangents
+        A, interpret, needs, (pair16, rays, tile_bounds, tiles_out),
+        cotangents
     )
     g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
                                 interpret)[:, :pshape[1]]
@@ -850,6 +872,7 @@ def trace_rays(
     per_tile_cap: int | None = None,
     total_pair_cap: int | None = 2 ** 21,
     ray_mask: jnp.ndarray | None = None,
+    needs: tuple = (True, True),
 ) -> TraceOutput:
     """Tiled Pallas tracer over an (H, W) ray grid.
 
@@ -889,7 +912,7 @@ def trace_rays(
     )
     packed = _pack_scene_table(scene)
     tiles_out, wet_pairs = _gather_blend_trace(packed, gauss_idx, tiles.rays,
-                                               bounds, A, interpret)
+                                               bounds, A, interpret, needs)
 
     r = _rows(A)
     ty = -(-H // RTILE)
@@ -903,9 +926,12 @@ def trace_rays(
     rgb = img[:3].transpose(1, 2, 0) + trans[..., None] * bg_color[None, None, :]
     acc = img[r["acc"]]
     dpt = jnp.where(acc > 1e-8, img[r["dpt"]] / jnp.maximum(acc, 1e-8), 0.0)
-    wet = jax.ops.segment_sum(
-        jax.lax.stop_gradient(wet_pairs), gauss_idx, num_segments=P + 1
-    )[:P]
+    if needs[1]:
+        wet = jax.ops.segment_sum(
+            jax.lax.stop_gradient(wet_pairs), gauss_idx, num_segments=P + 1
+        )[:P]
+    else:  # pure render: wet never written (exact zeros, no reduction)
+        wet = jnp.zeros((P,), jnp.float32)
     return TraceOutput(
         rgb=rgb,
         dpt=dpt,

@@ -126,3 +126,24 @@ def test_train_step_improves_psnr():
         assert np.isfinite(psnrs[-1])
     assert psnrs[-1] > psnrs[0] + 2.0, psnrs
     assert float(state.base.n_active) == 64  # no topology change mid-training
+
+
+def test_render_mode_matches_training_forward():
+    """cfg.render_mode=True strips training-only kernel work; the visible
+    outputs (rgb/depth/normal/acc/spec) must be bit-identical, while
+    dist_map and the wet buffers become exact zeros."""
+    cam = _cam()
+    base, env = _pools()
+    cfg = _CFG._replace(tracer_backend="tiled_interp",
+                        pair_cap=2 ** 12, env_pair_cap=2 ** 12)
+    full = forward_envgs(base, env, cam, jnp.asarray(10), cfg)
+    lean = forward_envgs(base, env, cam, jnp.asarray(10),
+                         cfg._replace(render_mode=True))
+    for k in ("rgb_map", "dif_rgb_map", "env_rgb_map", "dpt_map",
+              "norm_map", "acc_map", "spec_map"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, k)), np.asarray(getattr(lean, k)),
+            err_msg=k)
+    assert np.all(np.asarray(lean.dist_map) == 0.0)
+    assert np.all(np.asarray(lean.base_wet) == 0.0)
+    assert np.all(np.asarray(lean.env_wet) == 0.0)

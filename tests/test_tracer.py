@@ -158,3 +158,18 @@ def test_tiled_tracer_grad_parity():
         np.testing.assert_allclose(
             b_ / scale, a_ / scale, atol=3e-3, err_msg=f"tracer grad: {name}"
         )
+
+
+def test_tracer_render_mode_strips_training_outputs():
+    """needs=(False, False) (pure render) must leave rgb/acc/dpt/norm
+    bit-identical and zero the training-only wet/dist outputs."""
+    scene = prepare_trace_scene(*_shell_scene(P=96, seed=3))
+    o, d = _ray_grid(16, 16, seed=4)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    full = trace_rays(scene, o, d, bg, backend="tiled_interp")
+    lean = trace_rays(scene, o, d, bg, backend="tiled_interp",
+                      needs=(False, False))
+    for k in ("rgb", "acc", "dpt", "norm"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, k)), np.asarray(getattr(lean, k)), err_msg=k)
+    assert np.all(np.asarray(lean.wet) == 0.0)
