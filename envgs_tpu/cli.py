@@ -170,17 +170,26 @@ def make_runner(cfg: Config) -> Runner:
         freeze_intri=bool(ccfg.get("freeze_intri", False)),
     )
 
-    # DatasetRatioModerator schedule (runners/moderators.py:30-63 semantics)
-    from envgs_tpu.train.moderators import RatioSchedule
+    # DatasetRatioModerator / DatasetCenterCropRatioModerator schedules
+    # (runners/moderators.py:30-87 semantics)
+    from envgs_tpu.train.moderators import CenterCropSchedule, RatioSchedule
 
     modcfg = rcfg.get("moderator_cfg", {}) or {}
     ratio_sched = None
+    crop_sched = None
     if modcfg.get("type") == "DatasetRatioModerator":
         ratio_sched = RatioSchedule(
             ratio_start=float(modcfg.get("milestone_start", 0.25)),
             ratio_end=float(modcfg.get("milestone_end", 1.0)),
             iter_start=int(modcfg.get("iter_start", 0)),
             iter_end=int(modcfg.get("iter_end", 10000)),
+        )
+    elif modcfg.get("type") == "DatasetCenterCropRatioModerator":
+        crop_sched = CenterCropSchedule(
+            crop_start=float(modcfg.get("milestone_start", 0.5)),
+            crop_end=float(modcfg.get("milestone_end", 1.0)),
+            iter_start=int(modcfg.get("iter_start", 0)),
+            iter_end=int(modcfg.get("iter_end", 5000)),
         )
 
     scfg = cfg.get("model_cfg", {}).get("sampler_cfg", {})
@@ -207,6 +216,7 @@ def make_runner(cfg: Config) -> Runner:
         resume=rcfg.get("resume", True),
         cam_opt=cam_opt,
         ratio_sched=ratio_sched,
+        crop_sched=crop_sched,
         patch_size=patch_size,
         # profiling (profiler_cfg semantics, scripts/wrap.py:44-56 +
         # runner collect_timing / timer_record_to_file knobs)

@@ -52,6 +52,31 @@ class CenterCropSchedule(NamedTuple):
         return sched(it)
 
 
+def center_crop_view(view: dict, ratio: float) -> dict:
+    """Host-side center crop to a ratio bucket (K principal point shifted).
+
+    DatasetCenterCropRatioModerator semantics (moderators.py:66-87 +
+    volumetric_video_dataset.py:1285-1310 in the reference): crop the
+    central `ratio` fraction of the image; the camera intrinsics follow the
+    crop window. Dims snap to multiples of 16 for stable tile grids."""
+    if abs(ratio - 1.0) < 1e-6:
+        return view
+    cam = view["camera"]
+    H = max(int(cam.H * ratio) // 16 * 16, 16)
+    W = max(int(cam.W * ratio) // 16 * 16, 16)
+    y0 = (cam.H - H) // 2
+    x0 = (cam.W - W) // 2
+    K = np.asarray(cam.K).copy()
+    K[0, 2] -= x0
+    K[1, 2] -= y0
+    out = dict(view)
+    out["camera"] = cam._replace(H=H, W=W, K=K)
+    for k in ("rgb", "msk", "norm"):
+        if k in view:
+            out[k] = view[k][y0:y0 + H, x0:x0 + W]
+    return out
+
+
 def resize_view(view: dict, ratio: float) -> dict:
     """Host-side view resize to a ratio bucket (camera K rescaled)."""
     if abs(ratio - 1.0) < 1e-6:

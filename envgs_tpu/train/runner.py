@@ -25,7 +25,8 @@ from envgs_tpu.train import checkpoints as ckpt
 from envgs_tpu.train.evaluator import Evaluator, Visualizer
 from envgs_tpu.train.optimizer import LRConfig
 from envgs_tpu.train.supervisor import LossConfig
-from envgs_tpu.train.moderators import RatioSchedule, resize_view
+from envgs_tpu.train.moderators import (CenterCropSchedule, RatioSchedule,
+                                        center_crop_view, resize_view)
 from envgs_tpu.train.trainer import (
     Batch,
     CamOptConfig,
@@ -76,6 +77,7 @@ class Runner:
         resume: bool = True,
         cam_opt: CamOptConfig = CamOptConfig(),
         ratio_sched: RatioSchedule | None = None,
+        crop_sched: CenterCropSchedule | None = None,
         patch_size: tuple[int, int] | None = None,
         collect_timing: bool = False,
         timer_sync: bool = False,
@@ -103,6 +105,8 @@ class Runner:
         self.resume = resume
         self.cam_opt_cfg = cam_opt
         self.ratio_sched = ratio_sched
+        self.crop_sched = crop_sched
+        self._crop_views: dict[float, dict[int, dict]] = {}
         self.patch_size = patch_size
 
         self.has_norm = "norm" in views[0]
@@ -184,6 +188,16 @@ class Runner:
                 bucket = self._ratio_views.setdefault(ratio, {})
                 if view_i not in bucket:
                     bucket[view_i] = resize_view(view, ratio)
+                view = bucket[view_i]
+        if self.crop_sched is not None:
+            crop = self.crop_sched(it)
+            if abs(crop - 1.0) > 1e-6:
+                # key includes the source resolution: a ratio change must not
+                # serve crops cached from another ratio bucket
+                ck = (crop, view["camera"].H, view["camera"].W)
+                bucket = self._crop_views.setdefault(ck, {})
+                if view_i not in bucket:
+                    bucket[view_i] = center_crop_view(view, crop)
                 view = bucket[view_i]
         cam: Camera = view["camera"]
         if self.patch_size is not None:

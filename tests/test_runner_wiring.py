@@ -187,3 +187,45 @@ def test_profiler_session_window(tmp_path):
     # a trace directory with at least one artifact was produced
     found = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
     assert found, "no profiler trace artifacts written"
+
+
+def test_center_crop_view_shifts_principal_point():
+    from envgs_tpu.train.moderators import center_crop_view
+    cam = _cam(H=64, W=64)
+    view = dict(rgb=np.random.rand(64, 64, 3).astype(np.float32), camera=cam)
+    out = center_crop_view(view, 0.5)
+    assert out["camera"].H == 32 and out["rgb"].shape[:2] == (32, 32)
+    # focal length unchanged, principal point follows the crop window
+    np.testing.assert_allclose(np.asarray(out["camera"].K)[0, 0],
+                               np.asarray(cam.K)[0, 0])
+    np.testing.assert_allclose(np.asarray(out["camera"].K)[0, 2],
+                               np.asarray(cam.K)[0, 2] - 16)
+    np.testing.assert_array_equal(out["rgb"], view["rgb"][16:48, 16:48])
+    # identity ratio is a no-op passthrough
+    assert center_crop_view(view, 1.0) is view
+
+
+def test_runner_crop_schedule_wiring(tmp_path):
+    """The Runner applies the center-crop schedule to training views early
+    in training and returns to full frames past iter_end."""
+    from envgs_tpu.models.gaussians import DensifyConfig
+    from envgs_tpu.train.moderators import CenterCropSchedule
+    from envgs_tpu.train.runner import Runner
+    from envgs_tpu.train.trainer import ScheduleConfig
+
+    cam = _cam(H=64, W=64)
+    base, env = _pools()
+    view = dict(rgb=np.random.rand(64, 64, 3).astype(np.float32), camera=cam)
+    r = Runner(
+        views=[view], base=base, env=env, model_cfg=_CFG,
+        loss_cfg=LossConfig(), sched=ScheduleConfig(epochs=1, ep_iter=1),
+        dens_base=DensifyConfig(), dens_env=DensifyConfig(),
+        lr_base=LRConfig(), lr_env=LRConfig(),
+        out_root=str(tmp_path), resume=False, record=False,
+        crop_sched=CenterCropSchedule(0.5, 1.0, 0, 100, buckets=(0.5, 1.0)),
+    )
+    rng = np.random.default_rng(0)
+    _, cam0, _ = r._train_view(0, 0, rng)
+    assert (cam0.H, cam0.W) == (32, 32)
+    _, cam1, _ = r._train_view(0, 100, rng)
+    assert (cam1.H, cam1.W) == (64, 64)
