@@ -54,9 +54,37 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
+def tile_stable_sort(tid: jnp.ndarray, gid: jnp.ndarray, num_tiles: int,
+                     P: int):
+    """Stable (tile-major, gid-order-preserving) sort of (tid, gid).
+
+    When (tile id, depth rank) packs into 32 bits, sort ONE int32 array
+    (key = tid << gbits | gid): gid is strictly increasing within a tile
+    in the input, so the packed order IS the stable order — and a
+    single-array sort moves half the bytes of the (key, value) pair sort
+    through the comparator network. All 32 bits are usable: XOR with the
+    sign bit maps unsigned key order onto int32 signed order (the classic
+    radix trick), which is what buys the 13-tile-bit + 19-rank-bit
+    production scale (300K splats at 1600px) the packed path."""
+    gbits = max(int(P).bit_length(), 1)
+    nbits = int(num_tiles).bit_length() + gbits  # num_tiles = sentinel tile
+    if nbits <= 32:
+        key = (tid << gbits) | gid
+        if nbits == 32:  # sign bit in use: flip to keep unsigned order
+            key = key ^ jnp.int32(-2147483648)
+        key_s = jax.lax.sort(key, is_stable=False)
+        if nbits == 32:
+            key_s = key_s ^ jnp.int32(-2147483648)
+        tid_s = jax.lax.shift_right_logical(key_s, gbits)
+        gauss_s = key_s & ((1 << gbits) - 1)
+        return tid_s, gauss_s
+    return jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
+
+
 def bin_splats(
     prep: PreparedSplats, H: int, W: int, tile: int, pair_cap: int,
     align: int = 64, interpret: bool = False, lowpass_r: float = 0.0,
+    aligned: bool = True,
 ) -> BinnedPairs:
     """Expand splats into (splat, tile) pairs sorted by (tile, depth), each
     tile's range padded to a multiple of `align` (padding -> sentinel P).
@@ -152,25 +180,31 @@ def bin_splats(
         tid = jnp.where(keep, tid, num_tiles)
 
     # ---- stable single-key sort: tile-major, depth order preserved ----
-    # When (tile id, depth rank) packs into 31 bits, sort ONE int32 array
-    # (key = tid << gbits | gid): gid is strictly increasing within a tile
-    # in the input, so the packed order IS the stable order — and a
-    # single-array sort moves half the bytes of the (key, value) pair sort
-    # through the comparator network.
-    gbits = max(int(P).bit_length(), 1)
-    tmax = num_tiles  # sentinel tile id
-    if (int(tmax).bit_length() + gbits) <= 31:
-        key = (tid << gbits) | gid
-        key_s = jax.lax.sort(key, is_stable=False)
-        tid_s = key_s >> gbits
-        gauss_s = key_s & ((1 << gbits) - 1)
-    else:
-        tid_s, gauss_s = jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
+    tid_s, gauss_s = tile_stable_sort(tid, gid, num_tiles, P)
 
     # ---- per-tile bounds via binary search on the sorted keys ----
     bounds = jnp.searchsorted(
         tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+
+    if not aligned:
+        # Render-only fast path: raw (unaligned) bounds straight to the
+        # blend kernel, which masks the tail rows of each tile's last chunk
+        # (no wet rows in this layout). Skips the whole alignment stage —
+        # fill-forward + a cap-sized near-identity gather, ~20 ms at a 2M
+        # cap on v5e. One sentinel chunk of padding absorbs the last tile's
+        # chunk-DMA overrun.
+        gauss_pad = jnp.concatenate(
+            [gauss_s, jnp.full((align,), P, jnp.int32)])
+        return BinnedPairs(
+            gauss_idx=gauss_pad,
+            order=order,
+            tile_bounds=bounds,
+            num_pairs=total.astype(jnp.int32),
+            tiles_x=tx_n,
+            tiles_y=ty_n,
+            tile=tile,
+        )
     counts_t = bounds[1:] - bounds[:-1]
     padded = -(-counts_t // align) * align
     poffs = jnp.concatenate(

@@ -109,12 +109,16 @@ def rasterize(
     Wp = -(-W // rp.TILE) * rp.TILE
     tiles_x, tiles_y = tile_dims(Hp, Wp, rp.TILE)
 
+    # wet rows need the chunk-aligned pair layout; pure-render calls skip
+    # the alignment stage entirely (unaligned bounds + kernel tail masking)
+    aligned = needs[2]
     bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK,
-                      interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R)
+                      interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R,
+                      aligned=aligned)
     packed = _pack_table(prep, bins.order)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
         packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret,
-        "surfel", needs,
+        "surfel", needs, aligned,
     )
 
     # decode tile blocks -> images

@@ -212,12 +212,23 @@ def _dmap_dz(z):
 
 def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
                 pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode="surfel",
-                need_dist=True, need_med=True, need_wet=True):
+                need_dist=True, need_med=True, need_wet=True, aligned=True):
     r = _rows(C)
     t = pl.program_id(0)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    nchunks = jax.lax.div(end - start, CHUNK)
+    if aligned:
+        nchunks = jax.lax.div(end - start, CHUNK)
+    else:
+        # unaligned (render-only) layout: tile ranges are raw pair offsets.
+        # Mosaic requires DMA offsets divisible by the sublane tiling (8),
+        # so each chunk window is rounded DOWN to a multiple of 8 (a
+        # constant shift of start%8 per tile, since CHUNK % 8 == 0) and
+        # rows outside [start, end) are masked below. The first window may
+        # include up to 7 rows of the previous tile and the last straddles
+        # into the next tile's data.
+        s8 = jax.lax.rem(start, 8)
+        nchunks = jax.lax.div(end - start + s8 + (CHUNK - 1), CHUNK)
     px, py = _pixel_coords(t, tiles_x)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -226,8 +237,13 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
 
     # double-buffered pair DMA: prefetch chunk c+1 while blending chunk c
     def pair_dma(slot, c):
+        off = start + c * CHUNK
+        if aligned:
+            off = pl.multiple_of(off, CHUNK)
+        else:
+            off = pl.multiple_of(off - s8, 8)
         return pltpu.make_async_copy(
-            pair_ref.at[pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK), :],
+            pair_ref.at[pl.ds(off, CHUNK), :],
             pair_vmem.at[slot],
             sem_p.at[slot],
         )
@@ -251,6 +267,16 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             d = pair_vmem[jax.lax.rem(c, 2)]
             (a, amask, _clampm, _G, _u, _v, _qz, z, _b3, _dx, _dy, _t20,
              _t21) = _splat_pixel_terms(d, px, py, mode)
+            if not aligned:
+                # mask rows outside [start, end) — the 8-aligned window can
+                # carry up to 7 rows of the previous tile in front and the
+                # next tile's rows behind; their alpha must not touch
+                # transmittance
+                idx = (off - s8) + jax.lax.broadcasted_iota(
+                    jnp.int32, a.shape, 0)
+                inb = (idx >= start) & (idx < end)
+                a = jnp.where(inb, a, 0.0)
+                amask = amask & inb
 
             log_om = jnp.log1p(-a)
             cum_ex = _cumsum_sublane(log_om, CHUNK, exclusive=True)
@@ -631,8 +657,10 @@ def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
 
 
 def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
-                    mode="surfel", needs=(True, True, True)):
+                    mode="surfel", needs=(True, True, True), aligned=True):
     need_dist, need_med, need_wet = needs
+    assert aligned or not need_wet, (
+        "wet rows require the chunk-aligned pair layout")
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
     FPAD = _fpad(C)
@@ -660,14 +688,14 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
                tcur, sem_p, sem_w):
         _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, out_ref.at[0], wet_ref,
                     pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode,
-                    need_dist, need_med, need_wet)
+                    need_dist, need_med, need_wet, aligned)
 
     tiles_out, wet = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, FPAD, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((cap // CHUNK, 128), jnp.float32),
+            jax.ShapeDtypeStruct((-(-cap // CHUNK), 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -741,9 +769,9 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 # Fused pair gather + blend (the production path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
-                       mode="surfel", needs=(True, True, True)):
+                       mode="surfel", needs=(True, True, True), aligned=True):
     """packed (S, <=LO) f32 logical table, gauss_idx (CAP,) with sentinel
     S-1 -> (tiles (T, FPAD, NPIX), wet (CAP,)).
 
@@ -755,19 +783,22 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
     return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
-                           needs)
+                           needs, aligned)
 
 
 def _gbt_fwd(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
-             mode="surfel", needs=(True, True, True)):
+             mode="surfel", needs=(True, True, True), aligned=True):
     del needs  # training path computes everything (bwd reads d1/d2/last/wet)
+    assert aligned, "autodiff requires the chunk-aligned (training) layout"
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
     out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
     return out, (pair16, gauss_idx, tile_bounds, out[0], packed.shape)
 
 
-def _gbt_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents):
+def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, residuals,
+             cotangents):
+    del aligned  # asserted True in _gbt_fwd
     pair16, gauss_idx, tile_bounds, tiles_out, pshape = residuals
     g_pair = _blend_bwd(C, tiles_x, interpret, mode, needs,
                         (pair16, tile_bounds, tiles_out), cotangents)[0]

@@ -256,7 +256,30 @@ def cull_and_sort(
         keep_s = ((hit_s | near_s) & (proj_s + cr > 0) & (cid < P)
                   & (cr > 0))
         rad_key = jnp.where(keep_s, jnp.sqrt(d2_s), jnp.inf)
-        _, cid_sorted = jax.lax.sort_key_val(rad_key, cid, dimension=-1)
+        cid_bits = int(P).bit_length()  # cid sentinel == P fits
+        qbits = 32 - cid_bits
+        if qbits >= 14:
+            # pack (quantized radial, cid) into ONE int32 row key: half the
+            # comparator traffic of the (f32 key, i32 val) pair sort. The
+            # sign bit is usable via the unsigned-order XOR trick. Radial
+            # quantizes per tile to rmax/(2^qbits-1) buckets (>= 16K); order
+            # inside one bucket falls to cid — the same
+            # arbitrary-tie-resolution class as the CUDA depth-bits sort
+            # (gaussian2d_utils.py tile pipeline). Culled candidates carry
+            # the max bucket so they sort past every kept pair; slots past
+            # `counts` are never read downstream.
+            qmax = (1 << qbits) - 1
+            rmax = jnp.max(jnp.where(keep_s, rad_key, 0.0), -1, keepdims=True)
+            rq = jnp.where(
+                keep_s,
+                jnp.clip(rad_key / jnp.maximum(rmax, 1e-12) * (qmax - 1),
+                         0, qmax - 1).astype(jnp.int32),
+                qmax)
+            key = ((rq << cid_bits) | cid) ^ jnp.int32(-2147483648)
+            key_s = jax.lax.sort(key, dimension=-1, is_stable=False)
+            cid_sorted = (key_s ^ jnp.int32(-2147483648)) & ((1 << cid_bits) - 1)
+        else:
+            _, cid_sorted = jax.lax.sort_key_val(rad_key, cid, dimension=-1)
         return cid_sorted.astype(jnp.int32), keep_s
 
     # pad tile count to a block multiple

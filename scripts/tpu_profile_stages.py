@@ -74,7 +74,8 @@ timeit(blend_fn, pd16, bins.tile_bounds, name="blend fwd kernel")
 tiles_out, wet = blend_fn(pd16, bins.tile_bounds)
 bwd_fn = jax.jit(
     lambda pdata, b, res, gt: rp._blend_bwd(
-        3, tiles_x, False, "surfel", (pdata, b, res), (gt, None)
+        3, tiles_x, False, "surfel", (True, True, True),
+        (pdata, b, res), (gt, None)
     )[0]
 )
 timeit(bwd_fn, pd16, bins.tile_bounds, tiles_out, jnp.ones_like(tiles_out),

@@ -86,7 +86,7 @@ fwd_fn = jax.jit(lambda p, r, b: tr._trace_fwd_call(p, r, b, 0, False))
 tiles_out, wet = timeit(fwd_fn, pd16, tiles.rays, bounds, name="blend fwd")
 
 bwd_fn = jax.jit(lambda p, r, b, res, g: tr._trace_bwd(
-    0, False, (p, r, b, res), (g, None)))
+    0, False, (True, True), (p, r, b, res), (g, None)))
 timeit(bwd_fn, pd16, tiles.rays, bounds, tiles_out,
        jnp.ones_like(tiles_out), name="blend bwd")
 

@@ -123,3 +123,27 @@ def test_empty_scene():
         atol=1e-5,
     )
     np.testing.assert_allclose(np.asarray(out.trans), 1.0, atol=1e-6)
+
+
+def test_render_mode_unaligned_parity():
+    """Pure-render calls (needs all-False) take the unaligned pair layout
+    (no chunk-alignment stage; the blend kernel masks each tile's tail
+    chunk) — rgb/alpha/depth/normal/trans must match the reference."""
+    cam = _cam()
+    scene = _random_scene(P=300, seed=3)
+    prep = _prep(scene, cam)
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    ref = rasterize(prep, cam, bg, backend="ref")
+    out = rasterize(prep, cam, bg, backend="pallas_interp",
+                    pair_cap=2 ** 13, needs=(False, False, False))
+    np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.depth_expected),
+                               np.asarray(ref.depth_expected),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.normal), np.asarray(ref.normal),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.trans), np.asarray(ref.trans),
+                               atol=2e-4)

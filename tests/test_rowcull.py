@@ -133,3 +133,24 @@ def test_rowcull_actually_culls():
         rect += int(in_rect.sum())
         culled += int((in_rect & inside).sum())
     assert culled < 0.8 * rect, (culled, rect)
+
+
+def test_tile_stable_sort_32bit_packed_path():
+    """The 32-bit packed key (sign-bit XOR trick) must reproduce the stable
+    pair sort exactly at the production bit widths (13 tile bits + 19 rank
+    bits) including keys with the sign bit set."""
+    import jax
+    import jax.numpy as jnp
+    from envgs_tpu.ops.binning import tile_stable_sort
+
+    rng = np.random.default_rng(0)
+    P = 300_000          # 19 bits
+    num_tiles = 6435     # 13 bits -> nbits == 32
+    n = 4096
+    tid = jnp.asarray(rng.integers(0, num_tiles + 1, n), jnp.int32)
+    # gid ascending within the array (depth-major generation invariant)
+    gid = jnp.sort(jnp.asarray(rng.integers(0, P, n), jnp.int32))
+    t_ref, g_ref = jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
+    t_pk, g_pk = tile_stable_sort(tid, gid, num_tiles, P)
+    np.testing.assert_array_equal(np.asarray(t_pk), np.asarray(t_ref))
+    np.testing.assert_array_equal(np.asarray(g_pk), np.asarray(g_ref))
