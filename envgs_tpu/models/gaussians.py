@@ -62,6 +62,13 @@ class GaussianParams(NamedTuple):
     opacity: jnp.ndarray  # (N, 1) logit
     specular: jnp.ndarray  # (N, S) logit (S=1 or 3)
     roughness: jnp.ndarray  # (N, 1) logit
+    # temporal extension (Spacetime Gaussians / STGS family; None for the
+    # static families — None pytree nodes are empty, so every tree_map /
+    # optimizer / maintenance path stays schema-compatible).
+    # Reference: stgs_utils.py:228-275 (create_from_pcd temporal params).
+    t: jnp.ndarray | None = None  # (N, 1) temporal center
+    scaling_t: jnp.ndarray | None = None  # (N, 1) log temporal scale
+    motion: jnp.ndarray | None = None  # (N, 3) linear velocity
 
 
 class GaussianStats(NamedTuple):
@@ -130,6 +137,8 @@ def create_pool(
     init_roughness: float = 0.5,
     seed: int = 0,
     scale_axes: int = 2,
+    times: np.ndarray | None = None,
+    init_scale_t: float = 0.1414,
 ) -> GaussianPool:
     """Build a pool from an initial point cloud (host-side numpy).
 
@@ -166,6 +175,18 @@ def create_pool(
     )
     rough = np.full((cap, 1), float(logit(jnp.asarray(init_roughness))), np.float32)
 
+    temporal = {}
+    if times is not None:
+        # STGS temporal params (stgs_utils.py:259-275): t from the input
+        # times, sqrt-scale inverse activation for scaling_t, zero motion
+        t_full = np.zeros((cap, 1), np.float32)
+        t_full[:P] = np.asarray(times, np.float32).reshape(P, 1)
+        temporal = dict(
+            t=jnp.asarray(t_full),
+            scaling_t=jnp.full((cap, 1), np.log(max(init_scale_t, 1e-6)),
+                               jnp.float32),
+            motion=jnp.zeros((cap, 3), jnp.float32),
+        )
     params = GaussianParams(
         xyz=jnp.asarray(xyz_full),
         features_dc=jnp.asarray(f_dc),
@@ -175,6 +196,7 @@ def create_pool(
         opacity=jnp.asarray(opac),
         specular=jnp.asarray(spec),
         roughness=jnp.asarray(rough),
+        **temporal,
     )
     active = np.zeros((cap,), bool)
     active[:P] = True
@@ -284,7 +306,8 @@ def _write_children(params: GaussianParams, adam_tree, child: GaussianParams,
         return dst.at[safe].set(src, mode="drop")
 
     new_params = GaussianParams(*[
-        scatter(d, s) for d, s in zip(params, child)
+        scatter(d, s) if d is not None else None
+        for d, s in zip(params, child)
     ])
     if adam_tree is not None:
         adam_tree = jax.tree_util.tree_map(

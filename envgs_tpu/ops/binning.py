@@ -44,6 +44,14 @@ class BinnedPairs(NamedTuple):
     tiles_x: int
     tiles_y: int
     tile: int  # tile edge in pixels
+    # training (aligned) layout only — the pair-grad transpose plan
+    # (ops/segsum.presort_transpose): pre-sort slot of each aligned slot
+    # (sentinel pair_cap), per-splat run starts/counts in pre-sort space
+    # (depth order), and the static pre-sort capacity
+    pre_idx: jnp.ndarray | None = None  # (cap_aligned,) int32
+    seg_starts: jnp.ndarray | None = None  # (P,) int32
+    seg_counts: jnp.ndarray | None = None  # (P,) int32
+    pre_cap: int = 0
 
 
 def tile_dims(H: int, W: int, tile: int):
@@ -55,8 +63,9 @@ def _round_up(n, m):
 
 
 def tile_stable_sort(tid: jnp.ndarray, gid: jnp.ndarray, num_tiles: int,
-                     P: int):
-    """Stable (tile-major, gid-order-preserving) sort of (tid, gid).
+                     P: int, payload: jnp.ndarray | None = None):
+    """Stable (tile-major, gid-order-preserving) sort of (tid, gid)
+    [+ an optional int32 payload carried through the permutation].
 
     When (tile id, depth rank) packs into 32 bits, sort ONE int32 array
     (key = tid << gbits | gid): gid is strictly increasing within a tile
@@ -65,20 +74,30 @@ def tile_stable_sort(tid: jnp.ndarray, gid: jnp.ndarray, num_tiles: int,
     through the comparator network. All 32 bits are usable: XOR with the
     sign bit maps unsigned key order onto int32 signed order (the classic
     radix trick), which is what buys the 13-tile-bit + 19-rank-bit
-    production scale (300K splats at 1600px) the packed path."""
+    production scale (300K splats at 1600px) the packed path. (tid, gid)
+    keys are unique (a splat hits a tile at most once), so the payload
+    variants can stay unstable without changing the order."""
     gbits = max(int(P).bit_length(), 1)
     nbits = int(num_tiles).bit_length() + gbits  # num_tiles = sentinel tile
     if nbits <= 32:
         key = (tid << gbits) | gid
         if nbits == 32:  # sign bit in use: flip to keep unsigned order
             key = key ^ jnp.int32(-2147483648)
-        key_s = jax.lax.sort(key, is_stable=False)
+        if payload is None:
+            key_s = jax.lax.sort(key, is_stable=False)
+            pay_s = None
+        else:
+            key_s, pay_s = jax.lax.sort((key, payload), num_keys=1,
+                                        is_stable=False)
         if nbits == 32:
             key_s = key_s ^ jnp.int32(-2147483648)
         tid_s = jax.lax.shift_right_logical(key_s, gbits)
         gauss_s = key_s & ((1 << gbits) - 1)
-        return tid_s, gauss_s
-    return jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
+        return (tid_s, gauss_s) if payload is None else (tid_s, gauss_s,
+                                                         pay_s)
+    if payload is None:
+        return jax.lax.sort((tid, gid), num_keys=1, is_stable=True)
+    return jax.lax.sort((tid, gid, payload), num_keys=2, is_stable=False)
 
 
 def bin_splats(
@@ -180,7 +199,14 @@ def bin_splats(
         tid = jnp.where(keep, tid, num_tiles)
 
     # ---- stable single-key sort: tile-major, depth order preserved ----
-    tid_s, gauss_s = tile_stable_sort(tid, gid, num_tiles, P)
+    if aligned:
+        # training layout: carry pre-sort slot ids through the permutation
+        # so the pair-grad transpose can scatter straight back into the
+        # contiguous per-splat runs (segsum.presort_transpose)
+        tid_s, gauss_s, pre_s = tile_stable_sort(
+            tid, gid, num_tiles, P, payload=slots)
+    else:
+        tid_s, gauss_s = tile_stable_sort(tid, gid, num_tiles, P)
 
     # ---- per-tile bounds via binary search on the sorted keys ----
     bounds = jnp.searchsorted(
@@ -224,7 +250,11 @@ def bin_splats(
     src = tstart + (j - pstart)
     valid_dst = src < limit
     src = jnp.where(valid_dst, jnp.clip(src, 0, pair_cap - 1), 0)
-    gauss_aligned = jnp.where(valid_dst, gauss_s[src], P)
+    # one consolidated 2-col near-identity gather (row-rate bound: a second
+    # separate (cap,) gather would double the cost)
+    both = jnp.stack([gauss_s, pre_s], axis=1)[src]
+    gauss_aligned = jnp.where(valid_dst, both[:, 0], P)
+    pre_aligned = jnp.where(valid_dst, both[:, 1], pair_cap)
 
     return BinnedPairs(
         gauss_idx=gauss_aligned,
@@ -234,4 +264,8 @@ def bin_splats(
         tiles_x=tx_n,
         tiles_y=ty_n,
         tile=tile,
+        pre_idx=pre_aligned,
+        seg_starts=starts,
+        seg_counts=counts,
+        pre_cap=pair_cap,
     )

@@ -116,9 +116,13 @@ def rasterize(
                       interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R,
                       aligned=aligned)
     packed = _pack_table(prep, bins.order)
+    dummy = jnp.zeros((1,), jnp.int32)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
-        packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret,
-        "surfel", needs, aligned,
+        packed, bins.gauss_idx, bins.tile_bounds,
+        bins.pre_idx if aligned else dummy,
+        bins.seg_starts if aligned else dummy,
+        bins.seg_counts if aligned else dummy,
+        C, tiles_x, interpret, "surfel", needs, aligned, bins.pre_cap,
     )
 
     # decode tile blocks -> images

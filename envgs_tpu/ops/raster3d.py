@@ -87,8 +87,9 @@ def rasterize3d(
                       interpret=interpret)
     packed = _pack_table3d(prep, bins.order)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
-        packed, bins.gauss_idx, bins.tile_bounds, C, tiles_x, interpret,
-        "gauss3d",
+        packed, bins.gauss_idx, bins.tile_bounds, bins.pre_idx,
+        bins.seg_starts, bins.seg_counts, C, tiles_x, interpret,
+        "gauss3d", (True, True, True), True, bins.pre_cap,
     )
 
     r = rp._rows(C)

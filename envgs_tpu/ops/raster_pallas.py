@@ -769,11 +769,18 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 # Fused pair gather + blend (the production path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
-                       mode="surfel", needs=(True, True, True), aligned=True):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
+                       seg_counts, C, tiles_x, interpret,
+                       mode="surfel", needs=(True, True, True), aligned=True,
+                       pre_cap=0):
     """packed (S, <=LO) f32 logical table, gauss_idx (CAP,) with sentinel
     S-1 -> (tiles (T, FPAD, NPIX), wet (CAP,)).
+
+    pre_idx/seg_starts/seg_counts/pre_cap: the binning pre-sort run layout
+    (BinnedPairs) consumed ONLY by the backward's sort-free pair-grad
+    transpose (segsum.presort_transpose); pure-render callers pass dummies.
 
     Fusing the per-pair row gather with the blend lets the gather move
     split-bf16 rows (256B — row gathers are bytes-bound on v5e) while
@@ -786,27 +793,31 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
                            needs, aligned)
 
 
-def _gbt_fwd(packed, gauss_idx, tile_bounds, C, tiles_x, interpret,
-             mode="surfel", needs=(True, True, True), aligned=True):
+def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,
+             C, tiles_x, interpret,
+             mode="surfel", needs=(True, True, True), aligned=True,
+             pre_cap=0):
     del needs  # training path computes everything (bwd reads d1/d2/last/wet)
     assert aligned, "autodiff requires the chunk-aligned (training) layout"
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
     out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
-    return out, (pair16, gauss_idx, tile_bounds, out[0], packed.shape)
+    return out, (pair16, tile_bounds, pre_idx, seg_starts, seg_counts,
+                 out[0], packed.shape)
 
 
-def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, residuals,
+def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, pre_cap, residuals,
              cotangents):
     del aligned  # asserted True in _gbt_fwd
-    pair16, gauss_idx, tile_bounds, tiles_out, pshape = residuals
+    (pair16, tile_bounds, pre_idx, seg_starts, seg_counts, tiles_out,
+     pshape) = residuals
     g_pair = _blend_bwd(C, tiles_x, interpret, mode, needs,
                         (pair16, tile_bounds, tiles_out), cotangents)[0]
-    from envgs_tpu.ops.segsum import gather_transpose
+    from envgs_tpu.ops.segsum import presort_transpose
 
-    g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
-                                interpret)[:, :pshape[1]]
-    return g_packed, None, None
+    g_packed = presort_transpose(g_pair, pre_idx, seg_starts, seg_counts,
+                                 pre_cap, pshape[0], pshape[1])
+    return g_packed, None, None, None, None, None
 
 
 gather_blend_tiles.defvjp(_gbt_fwd, _gbt_bwd)

@@ -108,32 +108,73 @@ def _gr_fwd(packed, gauss_idx, n_segments, interpret):
     return packed[gauss_idx], (packed.shape[0], gauss_idx)
 
 
+def contiguous_run_sums(rows, starts, counts, S: int, width: int):
+    """Per-run sums over CONTIGUOUS row ranges [starts[p], starts[p] +
+    counts[p]) of rows (N, >=width) -> (S, width); runs beyond len(starts)
+    and empty runs give zero rows.
+
+    Blocked triangular-matmul inclusive prefix (MXU) + boundary gathers:
+    run total = P(end) - P(start-1) with P(i) = blockpre[i // B] +
+    inblock_prefix[i]. The blockpre terms cancel EXACTLY for runs inside a
+    single block (the common case — runs average a handful of rows), so the
+    difference is precision-safe; runs spanning blocks are large, keeping
+    the global block-prefix difference's relative error small."""
+    B = 512
+    N = rows.shape[0]
+    cap = -(-N // B) * B
+    g = rows[:, :width]
+    if cap != N:
+        g = jnp.pad(g, ((0, cap - N), (0, 0)))
+    blocks = g.reshape(cap // B, B, width)
+    tril = jnp.tril(jnp.ones((B, B), g.dtype))
+    inpre = jnp.einsum("ij,njw->niw", tril, blocks,
+                       precision=jax.lax.Precision.HIGHEST)
+    blocktot = inpre[:, B - 1, :]  # (NB, width)
+    blockpre = jnp.cumsum(blocktot, axis=0) - blocktot  # exclusive
+    flat = inpre.reshape(cap, width)
+
+    def P_at(idx):  # global inclusive prefix at row idx (row-rate gathers)
+        return blockpre[idx // B] + flat[idx]
+
+    ends = jnp.clip(starts + counts - 1, 0, cap - 1)
+    st = jnp.clip(starts, 0, cap - 1)
+    hi = P_at(ends)
+    lo = jnp.where((st > 0)[:, None], P_at(jnp.maximum(st - 1, 0)), 0.0)
+    nonempty = (counts > 0) & (starts < cap)
+    totals = jnp.where(nonempty[:, None], hi - lo, 0.0)
+    if totals.shape[0] < S:
+        totals = jnp.pad(totals, ((0, S - totals.shape[0]), (0, 0)))
+    return totals[:S]
+
+
 def gather_transpose(g, gauss_idx, n_segments: int, S: int,
-                     interpret: bool = False):
+                     interpret: bool = False, width: int | None = None,
+                     drop_last_segment: bool = False):
     """Scatter-free transpose of `packed[gauss_idx]`: per-segment sums of the
-    pair-row cotangents g (N, 128) -> (S, 128) without duplicate-index
-    scatter-adds (sort + segmented-scan + unique-row gather)."""
+    pair-row cotangents g (N, >=width) -> (S, width) without duplicate-index
+    scatter-adds (sort + contiguous-run reduction + boundary gathers).
+
+    drop_last_segment: zero the rows of segment n_segments-1 before the
+    reduction — for callers whose last table row is the sentinel/padding
+    convention, where blend kernels may leave those cotangent rows as
+    GARBAGE (even NaN): 0 * NaN = NaN would poison every block of the
+    triangular-matmul prefix. Keep False for a mathematically faithful
+    transpose (e.g. gather_rows' VJP)."""
+    del interpret  # pure XLA now (no Pallas segscan on this path)
     N = gauss_idx.shape[0]
+    width = g.shape[1] if width is None else width
     ids_sorted, perm = jax.lax.sort(
         (gauss_idx, jnp.arange(N, dtype=jnp.int32)), num_keys=1,
-        is_stable=True,
+        is_stable=False,  # within-segment order is irrelevant for a sum
     )
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ids_sorted[:-1]])
-    seg_start = (ids_sorted != prev).astype(jnp.int32)
     q = jnp.arange(n_segments, dtype=jnp.int32)
     left = jnp.searchsorted(ids_sorted, q, side="left").astype(jnp.int32)
     right = jnp.searchsorted(ids_sorted, q, side="right").astype(jnp.int32)
-    ends = jnp.where(right > left, right - 1, -1)
-
     g_sorted = g[perm]  # row gather into segment-sorted order
-    sums = segmented_inclusive_sum(g_sorted, seg_start, interpret=interpret)
-    valid = (ends >= 0)[:, None]
-    g_packed = jnp.where(valid, sums[jnp.clip(ends, 0, None)], 0.0)
-    if g_packed.shape[0] < S:
-        g_packed = jnp.pad(g_packed, ((0, S - g_packed.shape[0]), (0, 0)))
-    else:
-        g_packed = g_packed[:S]
-    return g_packed
+    if drop_last_segment:
+        sentinel = (ids_sorted >= n_segments - 1)[:, None]
+        g_sorted = jnp.where(sentinel, 0.0, g_sorted)
+    return contiguous_run_sums(g_sorted, left, right - left, S, width)
 
 
 def _gr_bwd(n_segments, interpret, res, g):
@@ -142,3 +183,35 @@ def _gr_bwd(n_segments, interpret, res, g):
 
 
 gather_rows.defvjp(_gr_fwd, _gr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pre-sort-run transpose (the production raster path)
+# ---------------------------------------------------------------------------
+
+def presort_transpose(g, pre_idx, seg_starts, seg_counts, pre_cap: int,
+                      S: int, width: int):
+    """Transpose of the aligned-pair gather when pairs were GENERATED as
+    contiguous per-splat runs (ops/binning.bin_splats: slot range
+    [seg_starts[p], seg_starts[p] + seg_counts[p]) of the pre-sort layout
+    belongs to depth-rank p).
+
+    Unlike `gather_transpose` (sort + segmented scan: ~229 ms at a 4M cap
+    on v5e), this needs NO sort: scatter the cotangent rows back to their
+    pre-sort slots (unique indices — a permutation), then per-splat sums
+    via a blocked triangular-matmul prefix (MXU) and boundary gathers.
+    Block-prefix terms cancel EXACTLY for runs inside one block (the
+    common case — runs average a handful of rows), so the prefix
+    difference is precision-safe; runs spanning blocks are large, so the
+    relative error of the global block-prefix difference stays small.
+
+    g (N, >=width) f32, pre_idx (N,) int32 (sentinel >= pre_cap drops),
+    seg_starts/seg_counts (P,) int32 in depth order -> (S, width) sums,
+    rows P..S-1 zero.
+    """
+    # scatter FULL 128-lane rows: narrow-row scatters are pathological on
+    # v5e (w32 measured 579 ms vs 50 ms at w128 — per-row relayout), while
+    # the triangular-matmul reduction slices to `width` afterwards for free
+    gpre = jnp.zeros((pre_cap, g.shape[1]), g.dtype).at[pre_idx].set(
+        g, mode="drop", unique_indices=True)
+    return contiguous_run_sums(gpre, seg_starts, seg_counts, S, width)

@@ -879,7 +879,8 @@ def _gbt_bwd(A, interpret, needs, residuals, cotangents):
         cotangents
     )
     g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
-                                interpret)[:, :pshape[1]]
+                                interpret, width=pshape[1],
+                                drop_last_segment=True)
     return g_packed, None, g_rays, None
 
 

@@ -53,14 +53,17 @@ def save_checkpoint(path: str, state: TrainState, it: int, keep: int = 3,
     ):
         idx = _compact_idx(np.asarray(pool.stats.active))
         for name, arr in pool.params._asdict().items():
-            arrays[f"{tag}/p/{name}"] = np.asarray(arr)[idx]
+            if arr is not None:  # temporal fields absent on static pools
+                arrays[f"{tag}/p/{name}"] = np.asarray(arr)[idx]
         for name, arr in pool.stats._asdict().items():
             a = np.asarray(arr)
             arrays[f"{tag}/s/{name}"] = a[idx] if a.ndim else a
         for name, arr in opt.mu._asdict().items():
-            arrays[f"{tag}/mu/{name}"] = np.asarray(arr)[idx]
+            if arr is not None:
+                arrays[f"{tag}/mu/{name}"] = np.asarray(arr)[idx]
         for name, arr in opt.nu._asdict().items():
-            arrays[f"{tag}/nu/{name}"] = np.asarray(arr)[idx]
+            if arr is not None:
+                arrays[f"{tag}/nu/{name}"] = np.asarray(arr)[idx]
         arrays[f"{tag}/opt_step"] = np.asarray(opt.step)
         arrays[f"{tag}/max_sh_degree"] = np.asarray(pool.max_sh_degree)
     arrays["key"] = np.asarray(state.key)
@@ -95,7 +98,7 @@ def load_checkpoint(path: str, base_cap: int, env_cap: int,
         assert n <= cap, f"checkpoint has {n} splats > capacity {cap}"
         params = GaussianParams(**{
             k: jnp.asarray(_pad(z[f"{tag}/p/{k}"], cap))
-            for k in GaussianParams._fields
+            for k in GaussianParams._fields if f"{tag}/p/{k}" in z
         })
         stats = {}
         for k in GaussianStats._fields:
@@ -105,11 +108,11 @@ def load_checkpoint(path: str, base_cap: int, env_cap: int,
         pool = GaussianPool(params, stats, int(z[f"{tag}/max_sh_degree"]))
         mu = GaussianParams(**{
             k: jnp.asarray(_pad(z[f"{tag}/mu/{k}"], cap))
-            for k in GaussianParams._fields
+            for k in GaussianParams._fields if f"{tag}/mu/{k}" in z
         })
         nu = GaussianParams(**{
             k: jnp.asarray(_pad(z[f"{tag}/nu/{k}"], cap))
-            for k in GaussianParams._fields
+            for k in GaussianParams._fields if f"{tag}/nu/{k}" in z
         })
         opt = AdamState(mu, nu, jnp.asarray(z[f"{tag}/opt_step"]))
         return pool, opt

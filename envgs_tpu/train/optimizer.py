@@ -107,6 +107,10 @@ class LRConfig(NamedTuple):
     rotation: float = 0.001
     specular: float = 0.01
     roughness: float = 0.05  # falls back to the default lr
+    # temporal (STGS) fields: None matches the static pools' empty params
+    t: float | None = None
+    scaling_t: float | None = None
+    motion: float | None = None
     # xyz schedule
     xyz_lr_init: float = 0.00016
     xyz_lr_final: float = 0.0000016
@@ -149,6 +153,9 @@ def lr_tree_for(it, cfg: LRConfig) -> GaussianParams:
         )
         pulsed = jnp.where(is_prop_evt, 0.0, cfg.opacity_pulse_lr)
         opac_lr = jnp.where(in_window, pulsed, opac_lr)
+    def opt_lr(v):
+        return None if v is None else jnp.asarray(v, jnp.float32)
+
     return GaussianParams(
         xyz=xyz_lr,
         features_dc=jnp.asarray(cfg.features_dc, jnp.float32),
@@ -158,4 +165,7 @@ def lr_tree_for(it, cfg: LRConfig) -> GaussianParams:
         opacity=opac_lr,
         specular=jnp.asarray(cfg.specular, jnp.float32),
         roughness=jnp.asarray(cfg.roughness, jnp.float32),
+        t=opt_lr(cfg.t),
+        scaling_t=opt_lr(cfg.scaling_t),
+        motion=opt_lr(cfg.motion),
     )

@@ -25,6 +25,8 @@ W = int(sys.argv[2]) if len(sys.argv) > 2 else 1558
 P_BASE = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
 P_ENV = int(sys.argv[4]) if len(sys.argv) > 4 else 131_072
 STEPS = int(sys.argv[5]) if len(sys.argv) > 5 else 10
+PAIR_CAP = int(sys.argv[6]) if len(sys.argv) > 6 else 2 ** 22
+ENV_PAIR_CAP = int(sys.argv[7]) if len(sys.argv) > 7 else 2 ** 21
 
 rng = np.random.default_rng(0)
 xyz = np.concatenate(
@@ -52,7 +54,7 @@ cam = make_camera(H, W, Kmat, np.eye(3, dtype=np.float32),
                   np.zeros(3, np.float32), 0.02, 100.0)
 model_cfg = EnvGSConfig(
     raster_backend="pallas", tracer_backend="tiled",
-    pair_cap=2 ** 22, env_pair_cap=2 ** 21, reflection_start_iter=0,
+    pair_cap=PAIR_CAP, env_pair_cap=ENV_PAIR_CAP, reflection_start_iter=0,
 )
 
 state = init_train_state(base, env, jax.random.PRNGKey(0))

@@ -130,8 +130,10 @@ def test_train_step_improves_psnr():
 
 def test_render_mode_matches_training_forward():
     """cfg.render_mode=True strips training-only kernel work; the visible
-    outputs (rgb/depth/normal/acc/spec) must be bit-identical, while
-    dist_map and the wet buffers become exact zeros."""
+    outputs (rgb/depth/normal/acc/spec) must match to fp-regrouping noise
+    (render mode uses the unaligned pair layout, so chunk boundaries — and
+    the within-chunk cumsum groupings — differ), while dist_map and the wet
+    buffers become exact zeros."""
     cam = _cam()
     base, env = _pools()
     cfg = _CFG._replace(tracer_backend="tiled_interp",
@@ -141,9 +143,9 @@ def test_render_mode_matches_training_forward():
                          cfg._replace(render_mode=True))
     for k in ("rgb_map", "dif_rgb_map", "env_rgb_map", "dpt_map",
               "norm_map", "acc_map", "spec_map"):
-        np.testing.assert_array_equal(
+        np.testing.assert_allclose(
             np.asarray(getattr(full, k)), np.asarray(getattr(lean, k)),
-            err_msg=k)
+            atol=1e-5, rtol=1e-5, err_msg=k)
     assert np.all(np.asarray(lean.dist_map) == 0.0)
     assert np.all(np.asarray(lean.base_wet) == 0.0)
     assert np.all(np.asarray(lean.env_wet) == 0.0)
