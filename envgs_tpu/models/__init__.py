@@ -44,6 +44,9 @@ SAMPLERS.register(importance_z_vals, name="ImportanceSampler")
 SAMPLERS.register(ENeRFConfig, name="CostVolumeSampler")
 from envgs_tpu.models.point_planes import PointPlanesConfig  # noqa: E402
 SAMPLERS.register(PointPlanesConfig, name="PointPlanesSampler")
+from envgs_tpu.models.stgs import STGSConfig  # noqa: E402
+SAMPLERS.register(STGSConfig, name="STGSModel")  # spacetime gaussians
+SAMPLERS.register(STGSConfig, name="FDGSSampler")  # fdgs render alias
 
 # --- NETWORKS (easyvolcap/models/networks/) --------------------------------
 NETWORKS.register(NerfConfig, name="VolumetricVideoNetwork")
