@@ -323,7 +323,12 @@ def train_gaussiant(cfg: Config):
 
 def main(argv=None):
     p = argparse.ArgumentParser("envgs_tpu")
-    p.add_argument("mode", choices=["train", "test", "render", "smoke"])
+    # mode parity with the reference entry points (scripts/main.py + the
+    # evc-ws console script): ws = websocket render server; dist = alias of
+    # train (multi-host SPMD needs no separate launcher — jax.distributed
+    # initializes from the TPU pod env, parallel/multihost.py)
+    p.add_argument("mode", choices=["train", "test", "render", "smoke",
+                                    "ws", "dist"])
     p.add_argument("-c", "--config", default=None,
                    help="comma-separated config chain")
     p.add_argument("--path-kind", default="orbit",
@@ -331,8 +336,29 @@ def main(argv=None):
                    help="render mode: camera path interpolation kind")
     p.add_argument("--path-frames", type=int, default=60,
                    help="render mode: number of path frames")
+    p.add_argument("--host", default="127.0.0.1", help="ws mode: bind host")
+    p.add_argument("--port", type=int, default=1024, help="ws mode: port")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the reference's "
+                        "anomaly-detection switch, SURVEY §5.2): every jit "
+                        "re-checks outputs for NaN/Inf and raises at the "
+                        "producing op — slow, debugging only")
     p.add_argument("opts", nargs="*", help="dotted overrides a.b.c=v")
     a = p.parse_args(argv)
+
+    if a.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if a.mode == "dist":
+        a.mode = "train"
+    if a.mode == "ws":
+        if not a.config:
+            p.error("ws requires -c <config>")
+        from envgs_tpu.serve.websocket_server import serve_config
+
+        serve_config(a.config, a.opts, host=a.host, port=a.port)
+        return
 
     if a.mode == "smoke":
         cfg = Config.wrap({

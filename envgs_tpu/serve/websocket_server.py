@@ -66,10 +66,13 @@ class RenderServer:
             except Exception:
                 await ws.send(b"ERR bad camera")
                 continue
-            out = self.runner.render_view(
-                Camera(cam0.H, cam0.W, jnp.asarray(K), jnp.asarray(R),
-                       jnp.asarray(T), cam0.znear, cam0.zfar)
-            )
+            cam = Camera(cam0.H, cam0.W, jnp.asarray(K), jnp.asarray(R),
+                         jnp.asarray(T), cam0.znear, cam0.zfar)
+            # render off the event loop: a synchronous jit (minutes on first
+            # compile) would block the websocket keepalive pings and the
+            # client would see the connection drop
+            out = await asyncio.get_event_loop().run_in_executor(
+                None, self.runner.render_view, cam)
             await ws.send(encode_jpeg(np.asarray(out.rgb_map)))
 
     async def serve(self, host: str = "0.0.0.0", port: int = 8765):
@@ -92,17 +95,26 @@ async def request_frame(uri: str, K, R, T) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(data)), np.float32) / 255.0
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("-c", "--config", required=True)
-    p.add_argument("--port", type=int, default=8765)
-    a = p.parse_args()
+def serve_config(config: str, overrides=(), host: str = "0.0.0.0",
+                 port: int = 8765):
+    """Build the runner from a config chain and serve (the evc-ws analog)."""
+    import os
 
     from envgs_tpu.cli import make_runner
     from envgs_tpu.engine import load_config
 
-    runner = make_runner(load_config(a.config))
-    asyncio.run(RenderServer(runner).serve(port=a.port))
+    runner = make_runner(load_config(config, overrides=list(overrides),
+                                     root=os.getcwd()))
+    asyncio.run(RenderServer(runner).serve(host=host, port=port))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8765)
+    a = p.parse_args()
+    serve_config(a.config, host=a.host, port=a.port)
 
 
 if __name__ == "__main__":

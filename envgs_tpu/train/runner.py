@@ -225,6 +225,19 @@ class Runner:
         t_start = time.time()
         key = jax.random.PRNGKey(1234)
 
+        def prepare(i: int):
+            """Select view i's training crop and start its host->device
+            transfer (jnp.asarray dispatches an async copy)."""
+            nonlocal oi, order
+            vi = int(order[oi])
+            oi += 1
+            if oi >= len(order):
+                order = rng.permutation(len(self.views))
+                oi = 0
+            v, c, vi = self._train_view(vi, i, rng)
+            return v, c, vi, self._batch(v)
+
+        pending = None
         for it in range(self.start_iter, total):
             self.profiler.step(it)
             self.timer.tick()
@@ -232,13 +245,9 @@ class Runner:
             self.state = self.maintain(self.state, it, mkey)
             self.timer.record("maintain")
 
-            view_i = int(order[oi])
-            oi += 1
-            if oi >= len(order):
-                order = rng.permutation(len(self.views))
-                oi = 0
-            view, cam, view_i = self._train_view(view_i, it, rng)
-            batch = self._batch(view)
+            if pending is None:
+                pending = prepare(it)
+            view, cam, view_i, batch = pending
             self.timer.record("data")
             if self.cam_opt_cfg.enabled:
                 self.state, self.cam_state, stats = self._step_fn(cam)(
@@ -250,6 +259,11 @@ class Runner:
                     self.state, batch,
                     cam.K, cam.R, cam.T, jnp.asarray(it),
                 )
+            # host->device prefetch of the NEXT batch while the device is
+            # busy with the just-dispatched step, BEFORE anything blocks on
+            # this step's outputs (the reference's CUDA-stream prefetcher,
+            # volumetric_video_runner.py:378-394)
+            pending = prepare(it + 1) if it + 1 < total else None
             self.timer.record("step", stats.get("loss"))
 
             if it % self.log_every == 0 or it == total - 1:
