@@ -233,3 +233,62 @@ class ImageBasedDataset(MultiViewDataset):
              for j in src])
         item["src_cams"] = [self.views[j].camera for j in src]
         return item
+
+
+@DATASETS.register
+class ImageBasedStreamingDataset:
+    """Live source-view stacks for the IBR path (demo / no-GT rendering).
+
+    Counterpart of the reference's ImageBasedStreamingDataset
+    (easyvolcap/dataloaders/datasets/image_based_streaming_dataset.py:26-112),
+    which pulls frames from USB webcams for the GUI. TPU pods have no
+    cameras, so the capture device is a pluggable `frame_source` callable:
+    () -> (V, H, W, 3) float32, the latest frame of every calibrated view
+    (a socket receiver, a directory poller, a synthetic generator, ...).
+    Calibration (K/R/T per view) is fixed at construction; items are
+    effectively infinite (`max_len`), carry no GT, and stack the `n_srcs`
+    views nearest the requested target camera — the get_sources semantics
+    at reference :100-107.
+    """
+
+    def __init__(self, cameras: list, frame_source, n_srcs: int = 3,
+                 max_len: int = 1_000_000_000):
+        assert len(cameras) >= n_srcs
+        self.cameras = cameras  # list[Camera], one per stream view
+        self.frame_source = frame_source
+        self.n_srcs = n_srcs
+        self.max_len = max_len
+        self._centers = np.stack([np.asarray(c.center) for c in cameras])
+
+    def __len__(self):
+        return self.max_len
+
+    def src_indices_for(self, target_center: np.ndarray) -> list[int]:
+        d = np.linalg.norm(self._centers - np.asarray(target_center),
+                           axis=-1)
+        if len(d) > self.n_srcs:
+            # a stream view coincident with the target is the target: exclude
+            # it from its own source stack (ImageBasedDataset semantics)
+            d = np.where(d < 1e-6, np.inf, d)
+        return [int(x) for x in np.argsort(d)[: self.n_srcs]]
+
+    def get_sources(self, target_cam) -> dict:
+        """Latest frames for the n_srcs views nearest `target_cam`."""
+        frames = np.asarray(self.frame_source(), np.float32)
+        src = self.src_indices_for(np.asarray(target_cam.center))
+        return dict(
+            src_inps=np.stack([frames[j] for j in src]),
+            src_cams=[self.cameras[j] for j in src],
+            src_indices=src,
+            stream=True,
+        )
+
+    def __getitem__(self, i: int) -> dict:
+        # round-robin target over the calibrated views (the GUI normally
+        # supplies its own free-viewpoint camera through get_sources)
+        cam = self.cameras[i % len(self.cameras)]
+        item = self.get_sources(cam)
+        item["camera"] = cam
+        item["view_index"] = i % len(self.cameras)
+        item["frame_index"] = i // len(self.cameras)
+        return item

@@ -126,3 +126,34 @@ def test_iteration_sampler_smaller_than_batch():
     assert all(len(b) == 4 for b in batches)
     flat = [i for b in batches for i in b]
     assert flat == [0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1, 2]
+
+
+def test_image_based_streaming_dataset():
+    """Live IBR source stacks: pluggable frame source, nearest-view
+    selection per target, fresh frames per item, no GT (reference
+    image_based_streaming_dataset.py parity)."""
+    import numpy as np
+
+    from envgs_tpu.data.video_dataset import ImageBasedStreamingDataset
+    from envgs_tpu.engine import DATASETS
+    from envgs_tpu.utils.camera import make_camera
+
+    K = np.array([[50, 0, 16], [0, 50, 16], [0, 0, 1]], np.float32)
+    cams = [make_camera(32, 32, K, np.eye(3, dtype=np.float32),
+                        np.array([i * 1.0, 0, 0], np.float32))
+            for i in range(4)]
+    counter = [0]
+
+    def src():
+        counter[0] += 1
+        return np.full((4, 32, 32, 3), counter[0], np.float32)
+
+    ds = ImageBasedStreamingDataset(cams, src, n_srcs=2)
+    a, b = ds[0], ds[1]
+    assert a["src_inps"].shape == (2, 32, 32, 3)
+    assert float(b["src_inps"].max()) == 2.0  # a fresh capture per item
+    assert a["stream"] and "rgb" not in a and len(ds) > 10 ** 8
+    assert a["src_indices"][0] == 1  # nearest view to camera 0 is camera 1
+    srcs = ds.get_sources(cams[3])
+    assert srcs["src_indices"][0] == 2
+    assert "ImageBasedStreamingDataset" in DATASETS
