@@ -328,7 +328,13 @@ def main(argv=None):
     # train (multi-host SPMD needs no separate launcher — jax.distributed
     # initializes from the TPU pod env, parallel/multihost.py)
     p.add_argument("mode", choices=["train", "test", "render", "smoke",
-                                    "ws", "dist"])
+                                    "ws", "dist", "sig"])
+    p.add_argument("--name", default=None,
+                   help="sig mode: experiment/config substring identifying "
+                        "the running training process")
+    p.add_argument("--signal", default="usr1", choices=["usr1", "usr2"],
+                   help="sig mode: usr1 = status dump + checkpoint, "
+                        "usr2 = checkpoint only")
     p.add_argument("-c", "--config", default=None,
                    help="comma-separated config chain")
     p.add_argument("--path-kind", default="orbit",
@@ -350,6 +356,40 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if a.mode == "sig":
+        # evc-sig analog (reference scripts/sigusr1.py): signal a RUNNING
+        # training process by name. Only ever sends SIGUSR1/SIGUSR2 (status
+        # dump / checkpoint-on-demand) — never a termination signal.
+        import signal as _signal
+
+        name = a.name or (a.opts[0] if a.opts else None)
+        if not name:
+            p.error("sig requires --name <experiment substring>")
+        sig = _signal.SIGUSR1 if a.signal == "usr1" else _signal.SIGUSR2
+        me = os.getpid()
+        hits = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                    cmd = fh.read().replace(b"\0", b" ").decode(
+                        "utf-8", "ignore")
+            except OSError:
+                continue
+            # only python interpreters: wrappers (timeout, shells) would DIE
+            # on an unhandled SIGUSR1 (default action is termination)
+            first = cmd.split(" ", 1)[0]
+            if ("python" in os.path.basename(first) and "envgs_tpu" in cmd
+                    and name in cmd and " sig" not in cmd):
+                hits.append((int(pid), cmd.strip()))
+        if not hits:
+            print(f"no running envgs_tpu process matching {name!r}")
+            return
+        for pid, cmd in hits:
+            os.kill(pid, sig)
+            print(f"sent {a.signal.upper()} to {pid}: {cmd[:100]}")
+        return
     if a.mode == "dist":
         a.mode = "train"
     if a.mode == "ws":

@@ -225,6 +225,26 @@ class Runner:
         t_start = time.time()
         key = jax.random.PRNGKey(1234)
 
+        # evc-sig analog (reference scripts/sigusr1.py + pyproject evc-sig):
+        # SIGUSR1 -> status dump + checkpoint at the next loop boundary;
+        # SIGUSR2 -> checkpoint only. Handlers just set flags (signal-safe);
+        # `python -m envgs_tpu sig <exp>` sends them by experiment name.
+        import signal as _signal
+
+        sig_flags = {"dump": False, "save": False}
+
+        def _on_usr1(*_a):
+            sig_flags["dump"] = sig_flags["save"] = True
+
+        def _on_usr2(*_a):
+            sig_flags["save"] = True
+
+        try:
+            _signal.signal(_signal.SIGUSR1, _on_usr1)
+            _signal.signal(_signal.SIGUSR2, _on_usr2)
+        except ValueError:
+            pass  # not the main thread (e.g. under a test harness)
+
         def prepare(i: int):
             """Select view i's training crop and start its host->device
             transfer (jnp.asarray dispatches an async copy)."""
@@ -290,6 +310,22 @@ class Runner:
                     flush=True,
                 )
                 self.timer.tick()  # logging cost is not charged to spans
+
+            if sig_flags["dump"]:
+                sig_flags["dump"] = False
+                spans = ""
+                if self.timer.enabled:
+                    spans = (f" data {self.timer.mean('data') * 1e3:.0f}ms"
+                             f" step {self.timer.mean('step') * 1e3:.0f}ms")
+                print(f"[SIGUSR1] iter {it}/{total} "
+                      + " ".join(f"{k}: {float(v):.4f}"
+                                 for k, v in stats.items()
+                                 if np.ndim(v) == 0) + spans, flush=True)
+            if sig_flags["save"]:
+                sig_flags["save"] = False
+                self.save(it + 1, latest_only=True)
+                print(f"[signal] checkpoint saved at iter {it + 1}",
+                      flush=True)
 
             nxt = it + 1
             if self.save_latest_every and nxt % self.save_latest_every == 0:
