@@ -50,3 +50,17 @@ def shard_for_host(items: Sequence, rank: int | None = None,
     rank = process_index() if rank is None else rank
     world = process_count() if world is None else world
     return list(items)[rank::world]
+
+
+def allsum_hosts(vec) -> "np.ndarray":
+    """Element-wise sum of a small float vector across hosts (one psum over
+    every global device; each host pre-divides by its local device count so
+    its contribution counts once). Single-host: identity."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(vec, np.float64)
+    n = jax.local_device_count()
+    x = jnp.tile(jnp.asarray(vec, jnp.float32)[None] / n, (n, 1))
+    y = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x)
+    return np.asarray(y[0], np.float64)

@@ -420,16 +420,31 @@ class Runner:
     def test(self, save_images: bool = True, tag: str | None = None,
              types=("RENDER", "DEPTH", "NORMAL", "SPECULAR", "DIFFUSE",
                     "REFLECTION")):
-        from envgs_tpu.parallel.multihost import is_main_process
-        if not is_main_process():  # rank-0-only evaluation
-            return {}
+        from envgs_tpu.parallel.multihost import (
+            allsum_hosts,
+            is_main_process,
+            process_count,
+            process_index,
+        )
         result_dir = (
             os.path.join(self.result_dir, tag) if tag else self.result_dir
         )
+        world = process_count()
+        if world > 1 and result_dir:
+            # per-rank shard metrics live next to the merged rank-0 file
+            result_dir = os.path.join(result_dir, f"rank{process_index()}") \
+                if not is_main_process() else result_dir
         ev = Evaluator(result_dir)
         vis = Visualizer(result_dir, types=types) if save_images else None
         rgb = None
-        for i, view in enumerate(self.eval_views or self.views):
+        views = list(enumerate(self.eval_views or self.views))
+        if world > 1:
+            # multi-host eval split: each host renders its stride of the
+            # eval views (the frame-sharding policy applied to evaluation);
+            # the summary is psum-merged below so rank 0 reports the mean
+            # over ALL views, not just its shard
+            views = views[process_index()::world]
+        for i, view in views:
             cam = view["camera"]
             t0 = time.time()
             out = self.render_view(cam)
@@ -443,6 +458,28 @@ class Runner:
         if vis:
             vis.summarize()
         summary = ev.summarize()
+        if world > 1:
+            # merge means across hosts, weighted by per-host view counts.
+            # FIXED key list + per-key finite counts: every rank must psum
+            # an identical-shape vector even with an empty shard or NaN
+            # metrics (lpips without weights)
+            keys = ("psnr_mean", "ssim_mean", "lpips_mean", "time_mean")
+            n = len(views)
+            vals, cnts = [], []
+            for k in keys:
+                v = summary["summary"].get(k, float("nan"))
+                ok = n > 0 and np.isfinite(v)
+                vals.append(float(v) * n if ok else 0.0)
+                cnts.append(float(n) if ok else 0.0)
+            tot = allsum_hosts(np.asarray([float(n)] + vals + cnts))
+            m = len(keys)
+            for j, k in enumerate(keys):
+                if tot[1 + m + j] > 0:
+                    summary["summary"][k] = float(
+                        tot[1 + j] / tot[1 + m + j])
+            summary["summary"]["n_views_total"] = int(tot[0])
+        if not is_main_process():
+            return summary
         # VAL scalars + the last rendered eval view into tensorboard
         self.recorder.record(
             "VAL", {k: v for k, v in summary["summary"].items()

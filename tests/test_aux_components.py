@@ -139,3 +139,71 @@ def test_msssim_perfect_match():
     assert float(msssim(x, x)) > 0.999
     assert float(ssim(x, x)) > 0.999
     assert float(psnr(x, x)) > 90
+
+
+def test_multihost_eval_split_and_merge(monkeypatch, tmp_path):
+    """Runner.test under a simulated 2-host world: each rank evaluates its
+    stride of the eval views; rank 0 reports means merged over ALL views
+    (weighted by per-rank counts), with lpips (NaN, no weights) left
+    unmerged. allsum_hosts is replaced by a sequential 2-rank accumulator."""
+    import envgs_tpu.train.runner as runner_mod
+    from envgs_tpu.parallel.multihost import allsum_hosts
+
+    # single-host identity of the real collective
+    np.testing.assert_allclose(
+        allsum_hosts(np.asarray([1.0, 2.5])), [1.0, 2.5])
+
+    # a tiny fake runner exercising the real Runner.test body
+    H = W = 16
+
+    class FakeOut:
+        def __init__(self, v):
+            self.rgb_map = jnp.full((H, W, 3), v)
+
+    views = [dict(camera=make_camera(
+        H, W, np.array([[20, 0, 8], [0, 20, 8], [0, 0, 1]], np.float32),
+        np.eye(3, dtype=np.float32), np.zeros(3, np.float32)),
+        rgb=np.full((H, W, 3), 0.5, np.float32), name=f"v{i}")
+        for i in range(4)]
+
+    class FakeRec:
+        def record(self, *a, **k):
+            pass
+
+    sums = {}
+
+    def run_rank(rank):
+        r = object.__new__(runner_mod.Runner)
+        r.result_dir = str(tmp_path / "res")
+        r.eval_views = views
+        r.views = views
+        r.recorder = FakeRec()
+        # rank 0 renders views 0,2 perfectly; rank 1 renders 1,3 as 0.25
+        r.render_view = lambda cam, _v=(0.5 if rank == 0 else 0.25): FakeOut(_v)
+        monkeypatch.setattr(runner_mod, "Evaluator",
+                            __import__("envgs_tpu.train.evaluator",
+                                       fromlist=["Evaluator"]).Evaluator)
+        mh = __import__("envgs_tpu.parallel.multihost",
+                        fromlist=["process_count"])
+        monkeypatch.setattr(mh, "process_count", lambda: 2)
+        monkeypatch.setattr(mh, "process_index", lambda: rank)
+        monkeypatch.setattr(mh, "is_main_process", lambda: rank == 0)
+
+        def fake_allsum(vec):
+            key = len(vec)
+            sums[key] = sums.get(key, np.zeros(len(vec))) + np.asarray(vec)
+            return sums[key]
+
+        monkeypatch.setattr(mh, "allsum_hosts", fake_allsum)
+        return r.test(save_images=False)
+
+    s1 = run_rank(1)  # runs first so rank 0 sees the full accumulated sum
+    s0 = run_rank(0)
+    assert s1["summary"]["n_views_total"] >= 2
+    assert s0["summary"]["n_views_total"] == 4
+    # rank-0 merged psnr = mean over perfect (inf? no: clip) halves —
+    # psnr(0.5 vs 0.5) is huge, psnr(0.25 vs 0.5) = ~12dB; merged is the
+    # average of the two ranks' psnrs
+    p_perfect = s0["summary"]["psnr_mean"]
+    assert p_perfect < 80.0  # merged, not rank-0-only (which would be ~80)
+    assert np.isfinite(p_perfect)
