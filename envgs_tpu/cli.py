@@ -172,11 +172,19 @@ def make_runner(cfg: Config) -> Runner:
 
     # DatasetRatioModerator / DatasetCenterCropRatioModerator schedules
     # (runners/moderators.py:30-87 semantics)
-    from envgs_tpu.train.moderators import CenterCropSchedule, RatioSchedule
+    from envgs_tpu.train.moderators import (
+        AlternatingSchedule,
+        CenterCropSchedule,
+        RatioSchedule,
+    )
 
     modcfg = rcfg.get("moderator_cfg", {}) or {}
     ratio_sched = None
     crop_sched = None
+    alternating = None
+    if modcfg.get("type") == "AlternatingModerator":
+        alternating = AlternatingSchedule(
+            patterns=tuple(modcfg.get("patterns", ("patch", "full"))))
     if modcfg.get("type") == "DatasetRatioModerator":
         ratio_sched = RatioSchedule(
             ratio_start=float(modcfg.get("milestone_start", 0.25)),
@@ -218,6 +226,7 @@ def make_runner(cfg: Config) -> Runner:
         ratio_sched=ratio_sched,
         crop_sched=crop_sched,
         patch_size=patch_size,
+        alternating=alternating,
         # profiling (profiler_cfg semantics, scripts/wrap.py:44-56 +
         # runner collect_timing / timer_record_to_file knobs)
         collect_timing=bool(rcfg.get("collect_timing", False)),

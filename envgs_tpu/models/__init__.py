@@ -63,6 +63,8 @@ EMBEDDERS.register(LatentCodeEmbedder, name="LatentCodeEmbedder")
 EMBEDDERS.register(composed_xyzt, name="ComposedXyztEmbedder")
 EMBEDDERS.register(KPlanesEmbedder, name="KPlanesEmbedder")
 EMBEDDERS.register(DeformationEmbedder, name="DeformationEmbedder")
+from envgs_tpu.models.embedders import ibr_embedder  # noqa: E402
+EMBEDDERS.register(ibr_embedder, name="ImageBasedEmbedder")
 
 # --- REGRESSORS (easyvolcap/models/networks/regressors/) -------------------
 REGRESSORS.register(MLP, name="MlpRegressor")

@@ -253,3 +253,37 @@ class DeformationEmbedder(NamedTuple):
             h = jax.nn.relu(h @ w + b)
         w, b = params[-1]
         return x + (h @ w + b)
+
+
+def ibr_embedder(xyz, src_feats, src_cams, agg: str = "meanvar"):
+    """Standalone image-based-rendering embedder (reference
+    models/embedders/image_based_embedder.py semantics): project world
+    points into each source view, bilinearly sample its feature map, and
+    aggregate across sources.
+
+    xyz (..., 3) world points; src_feats (S, H, W, C); src_cams list[Camera]
+    of length S. agg: "meanvar" -> (..., 2C) [mean, var across sources,
+    out-of-frustum sources excluded]; "stack" -> (S, ..., C+1) per-view
+    features + inside flag (for learned aggregation downstream).
+    """
+    import jax.numpy as jnp
+
+    from envgs_tpu.models.enerf import _bilinear, _project
+
+    feats, insides = [], []
+    for feat, cam in zip(src_feats, src_cams):
+        Hs, Ws = feat.shape[0], feat.shape[1]
+        x, y, z = _project(xyz, cam.K, cam.R, cam.T)
+        inside = ((z > 1e-6) & (x >= 0) & (x <= Ws - 1)
+                  & (y >= 0) & (y <= Hs - 1))
+        f = _bilinear(feat, jnp.clip(x, 0, Ws - 1), jnp.clip(y, 0, Hs - 1))
+        feats.append(f)
+        insides.append(inside)
+    F = jnp.stack(feats)  # (S, ..., C)
+    M = jnp.stack(insides)[..., None].astype(F.dtype)  # (S, ..., 1)
+    if agg == "stack":
+        return jnp.concatenate([F, M], axis=-1)
+    n = jnp.maximum(M.sum(0), 1.0)
+    mean = (F * M).sum(0) / n
+    var = ((F - mean) ** 2 * M).sum(0) / n
+    return jnp.concatenate([mean, var], axis=-1)

@@ -13,6 +13,8 @@ from typing import NamedTuple
 
 import numpy as np
 
+from envgs_tpu.engine import MODERATORS
+
 
 class RatioSchedule(NamedTuple):
     """Linear ramp from ratio_start to ratio_end over [iter_start, iter_end],
@@ -98,3 +100,29 @@ def resize_view(view: dict, ratio: float) -> dict:
             xx = (np.linspace(0, im.shape[1] - 1, W)).astype(int)
             out[k] = im[yy][:, xx]
     return out
+
+
+class AlternatingSchedule(NamedTuple):
+    """Cycle sampling patterns across iterations (AlternatingModerator,
+    reference runners/moderators.py:90-136: each iteration activates the
+    next key of pattern_cfg — e.g. patch-sampled vs full-image steps).
+    Static shapes per pattern: each pattern's step compiles once."""
+
+    patterns: tuple = ("patch", "full")
+
+    def __call__(self, it: int) -> str:
+        return self.patterns[it % len(self.patterns)]
+
+
+class NoopSchedule(NamedTuple):
+    """NoopModerator: no runtime dataset mutation."""
+
+    def __call__(self, it: int):
+        return None
+
+
+# registry parity with the reference moderator names
+MODERATORS.register(RatioSchedule, name="DatasetRatioModerator")
+MODERATORS.register(CenterCropSchedule, name="DatasetCenterCropRatioModerator")
+MODERATORS.register(AlternatingSchedule, name="AlternatingModerator")
+MODERATORS.register(NoopSchedule, name="NoopModerator")

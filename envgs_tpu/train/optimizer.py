@@ -169,3 +169,35 @@ def lr_tree_for(it, cfg: LRConfig) -> GaussianParams:
         scaling_t=opt_lr(cfg.scaling_t),
         motion=opt_lr(cfg.motion),
     )
+
+
+# ---------------------------------------------------------------------------
+# Named LR schedulers (reference runners/schedulers.py): pure functions of
+# the iteration, registered for config-driven lookup. `MultiLR` is omitted —
+# it raises NotImplementedError in the reference itself.
+# ---------------------------------------------------------------------------
+
+def noop_lr(step, lr, **_):
+    """NoopLR: constant lr (the EnvGS default, configs/models/envgs.yaml:18)."""
+    return lr
+
+
+def exponential_lr(step, lr, gamma: float = 0.1, decay_iter: int = 30000,
+                   min_lr: float = 0.0, **_):
+    """ExponentialLR with a floor (schedulers.py semantics)."""
+    return jnp.maximum(lr * gamma ** (step / decay_iter), min_lr)
+
+
+def warmup_exponential_lr(step, lr, gamma: float = 0.1,
+                          decay_iter: int = 30000, warmup_iter: int = 500,
+                          min_lr: float = 0.0, **_):
+    """Linear warmup into the exponential decay."""
+    warm = jnp.clip(step / jnp.maximum(warmup_iter, 1), 0.0, 1.0)
+    return warm * exponential_lr(step, lr, gamma, decay_iter, min_lr)
+
+
+from envgs_tpu.engine import SCHEDULERS  # noqa: E402
+
+SCHEDULERS.register(noop_lr, name="NoopLR")
+SCHEDULERS.register(exponential_lr, name="ExponentialLR")
+SCHEDULERS.register(warmup_exponential_lr, name="WarmupExponentialLR")

@@ -79,6 +79,7 @@ class Runner:
         ratio_sched: RatioSchedule | None = None,
         crop_sched: CenterCropSchedule | None = None,
         patch_size: tuple[int, int] | None = None,
+        alternating=None,  # AlternatingSchedule: it -> "patch" | "full"
         collect_timing: bool = False,
         timer_sync: bool = False,
         timer_record_to_file: str | None = None,
@@ -108,6 +109,7 @@ class Runner:
         self.crop_sched = crop_sched
         self._crop_views: dict[float, dict[int, dict]] = {}
         self.patch_size = patch_size
+        self.alternating = alternating
 
         self.has_norm = "norm" in views[0]
         # train steps are compiled per static resolution (ratio buckets /
@@ -200,7 +202,12 @@ class Runner:
                     bucket[view_i] = center_crop_view(view, crop)
                 view = bucket[view_i]
         cam: Camera = view["camera"]
-        if self.patch_size is not None:
+        use_patch = self.patch_size is not None
+        if use_patch and self.alternating is not None:
+            # AlternatingModerator semantics: only the "patch" pattern
+            # iterations sample a crop; "full" iterations train full-image
+            use_patch = self.alternating(it) == "patch"
+        if use_patch:
             ph, pw = self.patch_size
             ph, pw = min(ph, cam.H), min(pw, cam.W)
             y0 = int(rng.integers(0, cam.H - ph + 1))
@@ -288,6 +295,23 @@ class Runner:
 
             if it % self.log_every == 0 or it == total - 1:
                 stats = {k: float(v) for k, v in stats.items()}
+                # adaptive pair-cap escalation: capacity-truncation counters
+                # are surfaced by the step (no silent drops); on overflow,
+                # double the offending cap and recompile — configs can start
+                # SNUG (sort/gather/transpose cost scales with the cap) and
+                # only pay for capacity actually needed
+                grew = {}
+                if stats.get("pair_overflow", 0) > 0:
+                    grew["pair_cap"] = self.model_cfg.pair_cap * 2
+                if stats.get("trace_dropped", 0) > 0:
+                    grew["env_pair_cap"] = self.model_cfg.env_pair_cap * 2
+                if grew:
+                    self.model_cfg = self.model_cfg._replace(**grew)
+                    self._step_cache.clear()
+                    self._render_fn = None
+                    print("[capacity] growing " + ", ".join(
+                        f"{k} -> {v}" for k, v in grew.items())
+                        + " (recompile)", flush=True)
                 for k, v in stats.items():
                     smoothed[k].update(v)
                 self.recorder.record("TRAIN", stats, it=it)

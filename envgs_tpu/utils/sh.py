@@ -114,3 +114,29 @@ def rgb2sh0(rgb: jnp.ndarray) -> jnp.ndarray:
 
 def sh02rgb(sh: jnp.ndarray) -> jnp.ndarray:
     return sh * C0 + 0.5
+
+
+def num_sh_coeffs_4d(deg: int, deg_t: int) -> int:
+    return (deg + 1) ** 2 * (deg_t + 1)
+
+
+def eval_sh_4d(deg: int, deg_t: int, sh: jnp.ndarray, dirs: jnp.ndarray,
+               dirs_t: jnp.ndarray, l: float = 1.0) -> jnp.ndarray:
+    """4D (view + time) SH for dynamic models.
+
+    Reference eval_shfs_4d (sh_utils.py:731-1097): the spatial SH basis of
+    degree `deg` tensored with a temporal Fourier basis — block k of
+    (deg+1)^2 coefficients is weighted by cos(2*pi*k*t/l), k = 0..deg_t
+    (k=0 weight 1, i.e. the static SH block).
+
+    sh: (..., C, (deg+1)^2 * (deg_t+1)); dirs (..., 3); dirs_t (...,) or
+    (..., 1) time offsets; l: temporal period.
+    """
+    K = num_sh_coeffs(deg)
+    t = dirs_t[..., 0] if dirs_t.ndim == dirs.ndim else dirs_t
+    t = t[..., None]  # broadcast over channels
+    result = eval_sh(deg, sh[..., :K], dirs)
+    for k in range(1, deg_t + 1):
+        tk = jnp.cos(2.0 * jnp.pi * k * t / l)
+        result = result + tk * eval_sh(deg, sh[..., k * K:(k + 1) * K], dirs)
+    return result

@@ -100,6 +100,7 @@ _SLOW_TESTS = {
     "test_padded_pool_mask",
     "test_recorder",
     "test_two_splats_occlusion_order",
+    "test_runner_adaptive_pair_cap_growth",
 }
 
 

@@ -207,3 +207,33 @@ def test_multihost_eval_split_and_merge(monkeypatch, tmp_path):
     p_perfect = s0["summary"]["psnr_mean"]
     assert p_perfect < 80.0  # merged, not rank-0-only (which would be ~80)
     assert np.isfinite(p_perfect)
+
+
+def test_alternating_and_noop_moderators():
+    from envgs_tpu.engine import MODERATORS, SCHEDULERS
+    from envgs_tpu.train.moderators import AlternatingSchedule, NoopSchedule
+
+    alt = AlternatingSchedule(patterns=("patch", "full"))
+    assert [alt(i) for i in range(4)] == ["patch", "full", "patch", "full"]
+    assert NoopSchedule()(5) is None
+    for name in ("AlternatingModerator", "NoopModerator",
+                 "DatasetRatioModerator", "DatasetCenterCropRatioModerator"):
+        assert name in MODERATORS
+    for name in ("NoopLR", "ExponentialLR", "WarmupExponentialLR"):
+        assert name in SCHEDULERS
+
+
+def test_named_lr_schedulers():
+    from envgs_tpu.train.optimizer import (
+        exponential_lr,
+        noop_lr,
+        warmup_exponential_lr,
+    )
+
+    assert float(noop_lr(100, 0.01)) == 0.01
+    assert np.isclose(float(exponential_lr(0, 0.01)), 0.01)
+    assert np.isclose(float(exponential_lr(30000, 0.01)), 0.001)
+    assert np.isclose(float(exponential_lr(10 ** 6, 0.01, min_lr=1e-4)), 1e-4)
+    assert float(warmup_exponential_lr(0, 0.01)) == 0.0
+    assert np.isclose(float(warmup_exponential_lr(250, 0.01, warmup_iter=500)),
+                      0.5 * float(exponential_lr(250, 0.01)))

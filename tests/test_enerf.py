@@ -97,3 +97,39 @@ def test_train_convergence_and_depth():
     interior = d[2:-2, 2:-2]
     assert abs(float(np.median(interior)) - Z_PLANE) < 0.3, float(
         np.median(interior))
+
+
+def test_ibr_embedder_standalone():
+    """ImageBasedEmbedder: projected bilinear source features aggregated as
+    mean/var with out-of-frustum exclusion (reference image_based_embedder
+    semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from envgs_tpu.models.embedders import ibr_embedder
+    from envgs_tpu.engine import EMBEDDERS
+    from envgs_tpu.utils.camera import make_camera
+
+    H = W = 32
+    f = 40.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    cams = [
+        make_camera(H, W, K, np.eye(3, dtype=np.float32),
+                    np.zeros(3, np.float32)),
+        make_camera(H, W, K, np.eye(3, dtype=np.float32),
+                    np.array([-0.2, 0, 0], np.float32)),
+    ]
+    # constant-valued feature maps: mean = value, var = 0 where both see it
+    feats = jnp.stack([jnp.full((H, W, 4), 1.0), jnp.full((H, W, 4), 3.0)])
+    pts = jnp.asarray([[0.0, 0.0, 2.0], [0.0, 0.0, -5.0]])  # behind cam #2
+    out = ibr_embedder(pts, feats, cams)
+    assert out.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(out[0, :4]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0, 4:]), 1.0, atol=1e-5)
+    # the behind-camera point sees NO source: mean forced to 0 by masking
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0, atol=1e-5)
+    stacked = ibr_embedder(pts, feats, cams, agg="stack")
+    assert stacked.shape == (2, 2, 5)
+    assert float(stacked[0, 0, -1]) == 1.0  # inside flags
+    assert float(stacked[0, 1, -1]) == 0.0
+    assert "ImageBasedEmbedder" in EMBEDDERS

@@ -120,3 +120,60 @@ def test_sh_higher_degrees_orthogonality():
         sh = jnp.zeros((1, 1, 25)).at[0, 0, idx].set(1.0)
         vals = eval_sh(4, jnp.broadcast_to(sh, (20000, 1, 25)), dirs)
         assert abs(float(vals.mean())) < 0.02
+
+
+def test_eval_sh_4d():
+    """4D SH = spatial SH tensored with a cosine temporal basis
+    (sh_utils.py:731-1097): reduces to static SH at deg_t=0, is exactly
+    periodic in l, and block k carries the cos(2 pi k t / l) weight."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from envgs_tpu.utils.sh import eval_sh, eval_sh_4d, num_sh_coeffs_4d
+
+    rng = np.random.default_rng(0)
+    P, deg, deg_t = 64, 3, 2
+    K4 = num_sh_coeffs_4d(deg, deg_t)
+    assert K4 == 48
+    sh = jnp.asarray(rng.standard_normal((P, 3, K4)), jnp.float32)
+    dirs = rng.standard_normal((P, 3))
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       jnp.float32)
+    t = jnp.asarray(rng.uniform(0, 1, (P,)), jnp.float32)
+
+    # deg_t=0 == static SH on the first block
+    np.testing.assert_allclose(
+        np.asarray(eval_sh_4d(deg, 0, sh[..., :16], dirs, t)),
+        np.asarray(eval_sh(deg, sh[..., :16], dirs)), rtol=1e-6)
+    # periodicity in l
+    a = eval_sh_4d(deg, deg_t, sh, dirs, t, l=0.5)
+    b = eval_sh_4d(deg, deg_t, sh, dirs, t + 0.5, l=0.5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    # block-k weighting: sh with only block 1 live scales as cos(2 pi t / l)
+    sh1 = jnp.zeros_like(sh).at[..., 16:32].set(sh[..., 16:32])
+    v = eval_sh_4d(deg, deg_t, sh1, dirs, t)
+    base = eval_sh(deg, sh[..., 16:32], dirs)
+    np.testing.assert_allclose(
+        np.asarray(v),
+        np.asarray(base * jnp.cos(2 * jnp.pi * t)[:, None]), rtol=1e-4,
+        atol=1e-5)
+
+
+def test_chunkify():
+    """chunkify pads the ray axis to a chunk multiple, lax.maps the fn, and
+    crops the merged outputs (chunk_utils.py:6-104 semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from envgs_tpu.utils.chunk import chunkify
+
+    @chunkify(chunk_size=8)
+    def fn(rays, scale):
+        return {"a": rays * scale, "b": rays.sum(-1)}
+
+    rays = jnp.arange(3 * 19, dtype=jnp.float32).reshape(19, 3)
+    out = fn(rays, 2.0)
+    np.testing.assert_allclose(np.asarray(out["a"]), np.asarray(rays) * 2.0)
+    assert out["b"].shape == (19,)
+    np.testing.assert_allclose(np.asarray(out["b"]),
+                               np.asarray(rays).sum(-1))

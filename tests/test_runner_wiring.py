@@ -229,3 +229,28 @@ def test_runner_crop_schedule_wiring(tmp_path):
     assert (cam0.H, cam0.W) == (32, 32)
     _, cam1, _ = r._train_view(0, 100, rng)
     assert (cam1.H, cam1.W) == (64, 64)
+
+
+def test_runner_adaptive_pair_cap_growth(tmp_path):
+    """When the step's capacity-truncation counters report clipped raster
+    pairs, the runner doubles pair_cap and recompiles — configs start snug
+    (cap-proportional sort/gather/transpose cost) and grow on demand."""
+    from envgs_tpu.models.gaussians import DensifyConfig
+    from envgs_tpu.train.runner import Runner
+    from envgs_tpu.train.trainer import ScheduleConfig
+
+    cam = _cam(H=32, W=32)
+    base, env = _pools()
+    # a cap far below the real pair count at this scale forces overflow
+    cfg = _CFG._replace(raster_backend="pallas_interp", pair_cap=64)
+    view = dict(rgb=np.random.rand(32, 32, 3).astype(np.float32), camera=cam)
+    r = Runner(
+        views=[view], base=base, env=env, model_cfg=cfg,
+        loss_cfg=LossConfig(), sched=ScheduleConfig(epochs=1, ep_iter=2),
+        dens_base=DensifyConfig(), dens_env=DensifyConfig(),
+        lr_base=LRConfig(), lr_env=LRConfig(),
+        out_root=str(tmp_path), resume=False, record=False, log_every=1,
+        save_latest_every=0,
+    )
+    r.train()
+    assert r.model_cfg.pair_cap > 64, r.model_cfg.pair_cap
