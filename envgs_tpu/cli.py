@@ -336,8 +336,8 @@ def main(argv=None):
     # evc-ws console script): ws = websocket render server; dist = alias of
     # train (multi-host SPMD needs no separate launcher — jax.distributed
     # initializes from the TPU pod env, parallel/multihost.py)
-    p.add_argument("mode", choices=["train", "test", "render", "smoke",
-                                    "ws", "dist", "sig"])
+    p.add_argument("mode", choices=["train", "test", "render", "mesh",
+                                    "smoke", "ws", "dist", "sig"])
     p.add_argument("--name", default=None,
                    help="sig mode: experiment/config substring identifying "
                         "the running training process")
@@ -351,6 +351,10 @@ def main(argv=None):
                    help="render mode: camera path interpolation kind")
     p.add_argument("--path-frames", type=int, default=60,
                    help="render mode: number of path frames")
+    p.add_argument("--mesh-res", type=int, default=256,
+                   help="mesh mode: TSDF grid resolution")
+    p.add_argument("--mesh-stride", type=int, default=1,
+                   help="mesh mode: fuse every Nth training view")
     p.add_argument("--host", default="127.0.0.1", help="ws mode: bind host")
     p.add_argument("--port", type=int, default=1024, help="ws mode: port")
     p.add_argument("--debug-nans", action="store_true",
@@ -457,6 +461,10 @@ def main(argv=None):
         out = runner.render_path(n_frames=a.path_frames, kind=a.path_kind,
                                  tag=a.path_kind)
         print(f"[render] wrote {out}")
+    elif a.mode == "mesh":
+        # TSDF depth-fusion mesh export from the latest checkpoint
+        # (reference: scripts/fusion/volume_fusion.py eval protocol)
+        runner.extract_mesh(res=a.mesh_res, stride=a.mesh_stride)
     else:
         runner.test()
 

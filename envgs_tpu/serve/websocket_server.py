@@ -5,10 +5,18 @@ Mirrors the reference's remote rendering service
 the client streams camera poses; the server renders each received camera
 with the current model state, JPEG-encodes, and streams frames back.
 
-Protocol (binary frames both ways):
+Protocol:
+  server -> client on connect: ONE text frame, JSON
+                    {"H", "W", "K": [9], "R": [9], "T": [3]} — the first
+                    training view, so clients can seed their camera.
   client -> server: 4-byte header b'CAM0' + float32[3,3] K + float32[3,3] R
-                    + float32[3] T  (little-endian, C order)
-  server -> client: JPEG bytes of the rendered RGB image.
+                    + float32[3] T  (little-endian, C order), binary.
+  server -> client: JPEG bytes of the rendered RGB image, binary.
+
+A plain (non-websocket) HTTP GET on the same port serves the interactive
+browser viewer (`viewer.html` — the imgui-viewer analog for headless TPU
+pods, reference volumetric_video_viewer.py:267-375): point a browser at
+http://host:port/ and orbit.
 
 Run:  python -m envgs_tpu.serve.websocket_server -c <config> [--port 8765]
 """
@@ -55,12 +63,24 @@ class RenderServer:
         self.runner = runner  # envgs_tpu.train.runner.Runner
 
     async def handle(self, ws):
+        import json
+
         import jax.numpy as jnp
 
         from envgs_tpu.utils.camera import Camera
 
         cam0 = self.runner.views[0]["camera"]
+        # hello frame: initial camera meta (text, so binary-frame clients
+        # can tell it apart from JPEG payloads)
+        await ws.send(json.dumps({
+            "H": int(cam0.H), "W": int(cam0.W),
+            "K": np.asarray(cam0.K, np.float32).ravel().tolist(),
+            "R": np.asarray(cam0.R, np.float32).ravel().tolist(),
+            "T": np.asarray(cam0.T, np.float32).ravel().tolist(),
+        }))
         async for msg in ws:
+            if isinstance(msg, str):  # text frames are not camera packets
+                continue
             try:
                 K, R, T = decode_camera(msg)
             except Exception:
@@ -79,9 +99,34 @@ class RenderServer:
         import websockets
 
         async with websockets.serve(self.handle, host, port,
-                                    max_size=2 ** 24):
-            print(f"render server listening on ws://{host}:{port}")
+                                    max_size=2 ** 24,
+                                    process_request=viewer_page):
+            print(f"render server listening on ws://{host}:{port} "
+                  f"(browser viewer: http://{host}:{port}/)")
             await asyncio.Future()
+
+
+def viewer_page(connection, request):
+    """`process_request` hook: answer plain HTTP GETs (no Upgrade header)
+    with the bundled browser viewer; return None to continue the websocket
+    handshake."""
+    if "upgrade" in (request.headers.get("Connection") or "").lower():
+        return None
+    import http
+    import os
+
+    from websockets.datastructures import Headers
+    from websockets.http11 import Response
+
+    path = os.path.join(os.path.dirname(__file__), "viewer.html")
+    with open(path, "rb") as fh:
+        body = fh.read()
+    return Response(
+        http.HTTPStatus.OK, "OK",
+        Headers([("Content-Type", "text/html; charset=utf-8"),
+                 ("Content-Length", str(len(body)))]),
+        body,
+    )
 
 
 async def request_frame(uri: str, K, R, T) -> np.ndarray:
@@ -92,6 +137,8 @@ async def request_frame(uri: str, K, R, T) -> np.ndarray:
     async with websockets.connect(uri, max_size=2 ** 24) as ws:
         await ws.send(encode_camera(K, R, T))
         data = await ws.recv()
+        while isinstance(data, str):  # skip the hello/meta text frame
+            data = await ws.recv()
         return np.asarray(Image.open(io.BytesIO(data)), np.float32) / 255.0
 
 

@@ -441,6 +441,56 @@ class Runner:
                 )
         return result_dir
 
+    def extract_mesh(self, res: int = 256, acc_thresh: float = 0.5,
+                     stride: int = 1, bounds=None, tag: str = "mesh.ply",
+                     depth_max: float | None = None):
+        """TSDF depth-fusion mesh export — the reference's 2DGS/EnvGS mesh
+        protocol (render expected-depth maps over the training views, fuse
+        into a truncated SDF volume, extract the isosurface; reference:
+        scripts/fusion/volume_fusion.py + gaussian2d_utils depth fusion).
+
+        Renders every `stride`-th training view, discards pixels whose
+        accumulated alpha < `acc_thresh` (unobserved space) or depth >
+        `depth_max`, fuses into a `res`**3 TSDF over `bounds` (default: the
+        1-99 percentile AABB of the active base splats, 5%-padded), runs
+        marching tetrahedra restricted to observed voxels, and writes an
+        ascii ply under the experiment result dir. Returns the mesh path."""
+        from envgs_tpu.utils.fusion import (
+            marching_tetrahedra,
+            save_mesh_ply,
+            tsdf_fuse,
+        )
+
+        views = self.views[:: max(1, stride)]
+        cams = [v["camera"] for v in views]
+        depths = []
+        for v in views:
+            out = self.render_view(v["camera"])
+            dpt = np.asarray(out.dpt_map[..., 0])
+            acc = np.asarray(out.acc_map[..., 0])
+            keep = acc >= acc_thresh
+            if depth_max is not None:
+                keep &= dpt <= depth_max
+            depths.append(np.where(keep, dpt, 0.0).astype(np.float32))
+        if bounds is None:
+            act = np.asarray(self.state.base.stats.active) > 0
+            xyz = np.asarray(self.state.base.params.xyz)[act]
+            lo = np.percentile(xyz, 1.0, axis=0)
+            hi = np.percentile(xyz, 99.0, axis=0)
+            pad = 0.05 * float((hi - lo).max())
+            bounds = (lo - pad, hi + pad)
+        tsdf, w = tsdf_fuse(jnp.asarray(np.stack(depths)), cams, bounds,
+                            res=res)
+        verts, faces = marching_tetrahedra(
+            np.asarray(tsdf), 0.0, bounds=bounds,
+            observed=np.asarray(w) > 0,
+        )
+        os.makedirs(self.result_dir, exist_ok=True)
+        path = os.path.join(self.result_dir, tag)
+        save_mesh_ply(path, verts, faces)
+        print(f"[mesh] {len(verts)} verts / {len(faces)} faces -> {path}")
+        return path
+
     def test(self, save_images: bool = True, tag: str | None = None,
              types=("RENDER", "DEPTH", "NORMAL", "SPECULAR", "DIFFUSE",
                     "REFLECTION")):

@@ -237,3 +237,47 @@ def test_named_lr_schedulers():
     assert float(warmup_exponential_lr(0, 0.01)) == 0.0
     assert np.isclose(float(warmup_exponential_lr(250, 0.01, warmup_iter=500)),
                       0.5 * float(exponential_lr(250, 0.01)))
+
+
+def test_websocket_hello_and_viewer_page():
+    """On connect the server sends a JSON hello with the initial camera
+    (so browser clients can seed their orbit), and a plain HTTP GET on the
+    websocket port serves the bundled viewer page (the imgui-viewer analog,
+    reference volumetric_video_viewer.py:267-375)."""
+    import json
+    import urllib.request
+
+    import websockets
+
+    class FakeRunner:
+        views = [dict(camera=make_camera(
+            16, 16, np.diag([20.0, 20.0, 1.0]), np.eye(3, dtype=np.float32),
+            np.arange(3, dtype=np.float32)))]
+
+        def render_view(self, cam):
+            class Out:
+                rgb_map = jnp.zeros((16, 16, 3))
+            return Out()
+
+    from envgs_tpu.serve.websocket_server import RenderServer, viewer_page
+
+    async def run():
+        server = RenderServer(FakeRunner())
+        async with websockets.serve(server.handle, "127.0.0.1", 0,
+                                    process_request=viewer_page) as srv:
+            port = srv.sockets[0].getsockname()[1]
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                hello = json.loads(await ws.recv())
+            loop = asyncio.get_event_loop()
+            page = await loop.run_in_executor(
+                None,
+                lambda: urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=5).read(),
+            )
+            return hello, page
+
+    hello, page = asyncio.run(run())
+    assert hello["H"] == 16 and hello["W"] == 16
+    np.testing.assert_allclose(hello["T"], [0.0, 1.0, 2.0])
+    assert len(hello["K"]) == 9 and len(hello["R"]) == 9
+    assert b"envgs_tpu viewer" in page and b"CAM0" in page
