@@ -208,7 +208,11 @@ def bin_splats(
     else:
         tid_s, gauss_s = tile_stable_sort(tid, gid, num_tiles, P)
 
-    # ---- per-tile bounds via binary search on the sorted keys ----
+    # ---- per-tile bounds via binary search on the sorted keys. NOTE:
+    # method="sort" (a win for segsum's 131K-query boundary pass) LOSES
+    # here — ~6K tile queries over a 2M key array make the extra full-array
+    # merge sort cost far more than the vectorized binary search (measured
+    # -12% render fps when this used method="sort") ----
     bounds = jnp.searchsorted(
         tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)

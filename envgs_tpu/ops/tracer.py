@@ -406,8 +406,8 @@ def _ray_splat_terms(d, rays):
 
 
 def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
-                pair_vmem, wet_vmem, tcur, sem_p, sem_w,
-                need_dist=True, need_wet=True):
+                pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued,
+                need_dist=True, need_wet=True, skip_dma=True):
     r = _rows(A)
     t_id = pl.program_id(0)
     start = bounds_ref[t_id]
@@ -426,18 +426,46 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             sem_p.at[slot],
         )
 
+    # saturation DMA skipping (see raster_pallas._fwd_kernel): the prefetch
+    # gate reads the ONE-ITERATION-STALE aliveness in issued[2] so DMA
+    # starts don't chain behind the previous chunk's compute; issued[0:2]
+    # keeps start/wait balanced across the double buffer. Staleness is safe
+    # because aliveness only falls within a tile.
+    if skip_dma:
+        issued[0] = 0
+        issued[1] = 0
+        issued[2] = 1
+
     @pl.when(nchunks > 0)
     def _():
         pair_dma(0, 0).start()
+        if skip_dma:
+            issued[0] = 1
 
     def chunk_body(c, _):
+        cur = jax.lax.rem(c, 2)
+        nxt = jax.lax.rem(c + 1, 2)
+
+        if skip_dma:
+            @pl.when((issued[2] == 1) & (c + 1 < nchunks))
+            def _():
+                pair_dma(nxt, c + 1).start()
+                issued[nxt] = 1
+
+            @pl.when(issued[cur] == 1)
+            def _():
+                pair_dma(cur, c).wait()
+
+            issued[cur] = 0
+        else:
+            @pl.when(c + 1 < nchunks)
+            def _():
+                pair_dma(nxt, c + 1).start()
+
+            pair_dma(cur, c).wait()
         alive = jnp.max(tcur[...]) >= T_CUTOFF
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            pair_dma(jax.lax.rem(c + 1, 2), c + 1).start()
-
-        pair_dma(jax.lax.rem(c, 2), c).wait()
+        if skip_dma:
+            issued[2] = alive.astype(jnp.int32)
 
         @pl.when(alive)
         def _():
@@ -734,7 +762,7 @@ def _blend_trace(pair_data, rays, tile_bounds, A, interpret,
 
 
 def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
-                    needs=(True, True)):
+                    needs=(True, True), skip_dma=True):
     need_dist, need_wet = needs
     cap = pair_data.shape[0]
     T = tile_bounds.shape[0] - 1
@@ -758,14 +786,15 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((3,), jnp.int32),
         ],
     )
 
     def kernel(bounds_ref, pair_ref, rays_ref, out_ref, wet_ref, pair_vmem,
-               wet_vmem, tcur, sem_p, sem_w):
+               wet_vmem, tcur, sem_p, sem_w, issued):
         _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, out_ref.at[0],
                     wet_ref, pair_vmem, wet_vmem, tcur, sem_p, sem_w,
-                    need_dist, need_wet)
+                    issued, need_dist, need_wet, skip_dma=skip_dma)
 
     tiles_out, wet = pl.pallas_call(
         kernel,
@@ -861,7 +890,8 @@ def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, A, interpret,
     blend's reverse kernel to per-pair f32 logical gradients and transposes
     the gather with the segmented-sum scan (ops/segsum.gather_transpose)."""
     pair16 = split_bf16(packed)[gauss_idx]
-    return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs)
+    return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs,
+                           skip_dma=True)
 
 
 def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, A, interpret,

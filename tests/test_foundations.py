@@ -177,3 +177,32 @@ def test_chunkify():
     assert out["b"].shape == (19,)
     np.testing.assert_allclose(np.asarray(out["b"]),
                                np.asarray(rays).sum(-1))
+
+
+def test_ssim_custom_vjp_matches_autodiff():
+    """ssim's closed-form backward (fused-ssim recipe) must match plain
+    autodiff through the filter chain to float precision."""
+    from envgs_tpu.ops.losses import (
+        _gaussian_window,
+        _ssim_fields,
+        _ssim_from_fields,
+        ssim,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((40, 52, 3), np.float32))
+    y = jnp.asarray(rng.random((40, 52, 3), np.float32))
+
+    def ssim_autodiff(a, b, win_size=11, sigma=1.5, max_val=1.0):
+        win = _gaussian_window(win_size, sigma)
+        return _ssim_from_fields(_ssim_fields(a, b, win),
+                                 (0.01 * max_val) ** 2,
+                                 (0.03 * max_val) ** 2)
+
+    assert float(jnp.abs(ssim(x, y) - ssim_autodiff(x, y))) == 0.0
+    for args in ((), (7, 1.0, 2.0)):
+        g0 = jax.grad(ssim_autodiff, argnums=(0, 1))(x, y, *args)
+        g1 = jax.grad(ssim, argnums=(0, 1))(x, y, *args)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-8)

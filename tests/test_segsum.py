@@ -47,3 +47,25 @@ def test_gather_rows_vjp_matches_scatter_add():
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_permute_rows_vjp_matches_scatter_transpose():
+    """`permute_rows` (gather-by-inverse backward) must match plain x[perm]
+    autodiff exactly — the pack-table permutation's transpose is a
+    permutation gather, not a generic scatter-add."""
+    from envgs_tpu.ops.segsum import invert_permutation, permute_rows
+
+    rng = np.random.default_rng(3)
+    n, w = 257, 5
+    x = jnp.asarray(rng.random((n, w), np.float32))
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    inv = invert_permutation(perm)
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
+                                  np.arange(n))
+    cot = jnp.asarray(rng.random((n, w), np.float32))
+
+    y_ref, vjp_ref = jax.vjp(lambda a: a[perm], x)
+    y_new, vjp_new = jax.vjp(lambda a: permute_rows(a, perm, inv), x)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
+    np.testing.assert_allclose(np.asarray(vjp_ref(cot)[0]),
+                               np.asarray(vjp_new(cot)[0]), rtol=0, atol=0)
