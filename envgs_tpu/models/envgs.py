@@ -110,8 +110,12 @@ def render_base(
     cam: Camera,
     cfg: EnvGSConfig,
     means2d_zero: jnp.ndarray | None = None,
+    wet_zero: jnp.ndarray | None = None,
 ) -> RenderOutput:
-    """Rasterize the base (diffuse+specular-mask) Gaussian set."""
+    """Rasterize the base (diffuse+specular-mask) Gaussian set.
+
+    wet_zero (P,) zeros: per-splat wet arrives as d(loss)/d(wet_zero)
+    (means2d_zero trick); RenderOutput.wet is then exact zeros."""
     colors = _pool_colors(pool, cam.center)
     if cfg.render_reflection:
         colors = jnp.concatenate(
@@ -133,6 +137,7 @@ def render_base(
         prep, cam, bg, backend=cfg.raster_backend, pair_cap=cfg.pair_cap,
         means2d_zero=means2d_zero,
         needs=(train, train or cfg.depth_ratio > 0, train),
+        wet_zero=wet_zero if cfg.raster_backend != "ref" else None,
     )
     return render_decode(
         out, cam,
@@ -146,6 +151,7 @@ def render_base_traced(
     cam: Camera,
     cfg: EnvGSConfig,
     means3d_zero: jnp.ndarray | None = None,
+    wet_zero: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """Base pass via the surfel tracer on camera rays (use_base_tracing).
 
@@ -182,7 +188,7 @@ def render_base_traced(
         t = tracer.trace_rays(scene, ray_o, d, bg,
                               backend=cfg.tracer_backend,
                               total_pair_cap=cfg.pair_cap,
-                              needs=(train, train))
+                              needs=(train, train), wet_zero=wet_zero)
     # in-frustum projection visibility (optix_utils.py:203-213)
     prep = prepare_splats(
         xyz, pool.params.rotation, pool.get_scaling, pool.get_opacity[:, 0],
@@ -229,6 +235,7 @@ def render_env(
     cfg: EnvGSConfig,
     env_means3d_zero: jnp.ndarray | None = None,
     ray_mask: jnp.ndarray | None = None,
+    wet_zero: jnp.ndarray | None = None,
 ):
     """Trace the environment Gaussian set along reflected rays."""
     xyz = env.params.xyz
@@ -264,7 +271,8 @@ def render_env(
     return tracer.trace_rays(scene, ref_o, ref_d, bg,
                              backend=cfg.tracer_backend,
                              total_pair_cap=cfg.env_pair_cap,
-                             ray_mask=ray_mask, needs=(train, train))
+                             ray_mask=ray_mask, needs=(train, train),
+                             wet_zero=wet_zero)
 
 
 def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray) -> jnp.ndarray:
@@ -313,11 +321,18 @@ def forward_envgs(
     cfg: EnvGSConfig,
     means2d_zero: jnp.ndarray | None = None,
     env_means3d_zero: jnp.ndarray | None = None,
+    wet_zero: jnp.ndarray | None = None,
+    env_wet_zero: jnp.ndarray | None = None,
 ) -> EnvGSOutput:
+    """wet_zero / env_wet_zero: (P,)/(Pe,) zeros hooks — when given, the
+    per-splat accumulated blend weights arrive as their COTANGENTS (the
+    means2d_zero trick) and base_wet/env_wet outputs are exact zeros;
+    the trainer then derives visibility from the gradients."""
     if cfg.use_base_tracing:
-        b = render_base_traced(base, cam, cfg, means2d_zero)
+        b = render_base_traced(base, cam, cfg, means2d_zero,
+                               wet_zero=wet_zero)
     else:
-        b = render_base(base, cam, cfg, means2d_zero)
+        b = render_base(base, cam, cfg, means2d_zero, wet_zero=wet_zero)
     H, W = cam.H, cam.W
     spec = b.specular if b.specular is not None else jnp.zeros((H, W, 1))
     rough = b.roughness if b.roughness is not None else jnp.zeros((H, W, 1))
@@ -359,7 +374,7 @@ def forward_envgs(
 
     def with_env(_):
         e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero,
-                       ray_mask=ref_msk)
+                       ray_mask=ref_msk, wet_zero=env_wet_zero)
         dp = (e.dropped_pairs if e.dropped_pairs is not None
               else jnp.asarray(0, jnp.int32))
         return (e.rgb, e.dpt[..., None], e.acc[..., None], e.wet, e.trans,

@@ -95,12 +95,18 @@ def rasterize(
     pair_cap: int = 2 ** 21,
     means2d_zero: jnp.ndarray | None = None,
     needs: tuple = (True, True, True),
+    wet_zero: jnp.ndarray | None = None,
 ) -> RasterOutput:
     """Rasterize prepared splats into the reference's raw output maps.
 
     needs = (need_dist, need_med, need_wet) strips training-only work
     (distortion sums, median depth, per-pair wet + its segment reduction)
-    from pure-render calls; autodiff always computes everything."""
+    from pure-render calls; autodiff always computes everything.
+
+    wet_zero (P,) zeros: when given, per-splat wet is delivered as
+    d(loss)/d(wet_zero) by the blend backward (the means2d_zero trick —
+    see rp.gather_blend_tiles) and the forward's wet pipeline is stripped;
+    RasterOutput.wet is then exact zeros."""
     if backend == "ref":
         prep = _shift_tmat(prep, means2d_zero)
         return rasterize_reference(prep, cam, bg_color)
@@ -114,19 +120,36 @@ def rasterize(
     tiles_x, tiles_y = tile_dims(Hp, Wp, rp.TILE)
 
     # wet rows need the chunk-aligned pair layout; pure-render calls skip
-    # the alignment stage entirely (unaligned bounds + kernel tail masking)
-    aligned = needs[2]
+    # the alignment stage entirely (unaligned bounds + kernel tail masking).
+    # With wet_zero the gradient lane carries wet, so the forward kernel's
+    # wet writes are stripped but the aligned layout stays (the presort
+    # transpose requires it).
+    grad_wet = wet_zero is not None
+    aligned = needs[2] or grad_wet
+    fwd_needs = (needs[0], needs[1], needs[2] and not grad_wet)
     bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK,
                       interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R,
                       aligned=aligned)
     packed = _pack_table(prep, bins.order)
     dummy = jnp.zeros((1,), jnp.int32)
+    P = prep.depth.shape[0]
+    if grad_wet:
+        # table rows are depth-permuted; permute the zeros hook the same way
+        # so its cotangent lands back in pool order through the same VJP
+        # (permute_rows: the transpose is a gather, not a scatter-add)
+        from envgs_tpu.ops.segsum import invert_permutation, permute_rows
+
+        wz = jnp.pad(
+            permute_rows(wet_zero, bins.order,
+                         invert_permutation(bins.order)), (0, 1))
+    else:
+        wz = jnp.zeros((P + 1,), jnp.float32)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
         packed, bins.gauss_idx, bins.tile_bounds,
         bins.pre_idx if aligned else dummy,
         bins.seg_starts if aligned else dummy,
-        bins.seg_counts if aligned else dummy,
-        C, tiles_x, interpret, "surfel", needs, aligned, bins.pre_cap,
+        bins.seg_counts if aligned else dummy, wz,
+        C, tiles_x, interpret, "surfel", fwd_needs, aligned, bins.pre_cap,
     )
 
     # decode tile blocks -> images
@@ -140,9 +163,9 @@ def rasterize(
     rgb = img[:C].transpose(1, 2, 0) + trans[..., None] * bg[None, None, :]
 
     # per-splat accumulated weights (sentinel row dropped); the segment ids
-    # are in depth order, so scatter back through the permutation
-    P = prep.depth.shape[0]
-    if needs[2]:
+    # are in depth order, so scatter back through the permutation. With
+    # wet_zero the gradient lane delivers wet instead (fwd output zeros).
+    if fwd_needs[2]:
         wet_sorted = jax.ops.segment_sum(
             jax.lax.stop_gradient(wet_pairs),
             bins.gauss_idx,

@@ -88,7 +88,8 @@ def rasterize3d(
     packed = _pack_table3d(prep, bins.order)
     tiles_out, wet_pairs = rp.gather_blend_tiles(
         packed, bins.gauss_idx, bins.tile_bounds, bins.pre_idx,
-        bins.seg_starts, bins.seg_counts, C, tiles_x, interpret,
+        bins.seg_starts, bins.seg_counts,
+        jnp.zeros((packed.shape[0],), jnp.float32), C, tiles_x, interpret,
         "gauss3d", (True, True, True), True, bins.pre_cap,
     )
 

@@ -49,6 +49,11 @@ CHUNK = 64  # pairs per inner step (sublane dim; 128 measured neutral fwd, more 
 DPAD = 128  # packed per-pair feature width (lane dim; HBM DMA slices must
 #   be 128-lane aligned, and ANY-space arrays are physically 128-wide anyway)
 LO = 32  # lane offset of the low-order bf16 block (see split-precision note)
+WET_COL = LO - 1  # backward grad-row lane carrying the per-pair blend
+#   weight ("wet"): the bwd kernel recomputes w anyway, so riding it through
+#   the existing pair-grad transpose delivers per-splat wet sums for free —
+#   the forward's per-pair wet writes + the 19 ms duplicate-index
+#   segment_sum they fed are both stripped from the training path.
 
 # pair_data LOGICAL column layout (the layout of gradients and of the f32
 # packed table; the DMA'd pair rows store each logical column twice as
@@ -423,7 +428,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
 
 def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
                 gpair_ref, pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g,
-                mode="surfel"):
+                mode="surfel", emit_wet=False):
     """Reverse walk emitting per-pair gradients.
 
     res_ref: (FPAD, NPIX) forward outputs (residuals).
@@ -565,7 +570,16 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
             ]
             cols += [red(g_ref[i_:i_ + 1, :] * w) for i_ in range(C)]
             ncols = 15 + C
-            cols.append(jnp.zeros((CHUNK, DPAD - ncols), jnp.float32))
+            if emit_wet:
+                # forward-exact per-pair wet at WET_COL (w already carries
+                # the bwd rank gate; add the forward's per-pixel cutoff)
+                wet_p = red(jnp.where(T_bef * om >= T_CUTOFF, w, 0.0))
+                cols.append(jnp.zeros((CHUNK, WET_COL - ncols), jnp.float32))
+                cols.append(wet_p)
+                cols.append(jnp.zeros((CHUNK, DPAD - WET_COL - 1),
+                                      jnp.float32))
+            else:
+                cols.append(jnp.zeros((CHUNK, DPAD - ncols), jnp.float32))
             gp_vmem[...] = jnp.concatenate(cols, axis=1)
 
             gw_dma = pltpu.make_async_copy(
@@ -629,7 +643,13 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
             for i_ in range(3)
         ]
         cols += [red(g_ref[i_:i_ + 1, :] * w) for i_ in range(C)]
-        cols.append(jnp.zeros((CHUNK, DPAD - len(cols)), jnp.float32))
+        if emit_wet:
+            wet_p = red(jnp.where(T_bef * om >= T_CUTOFF, w, 0.0))
+            cols.append(jnp.zeros((CHUNK, WET_COL - len(cols)), jnp.float32))
+            cols.append(wet_p)
+            cols.append(jnp.zeros((CHUNK, DPAD - WET_COL - 1), jnp.float32))
+        else:
+            cols.append(jnp.zeros((CHUNK, DPAD - len(cols)), jnp.float32))
         gp_vmem[...] = jnp.concatenate(cols, axis=1)
 
         gw_dma = pltpu.make_async_copy(
@@ -752,7 +772,8 @@ def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret,
     return out, (pair16, tile_bounds, out[0])
 
 
-def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents):
+def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents,
+               emit_wet=False):
     del needs  # forward-for-vjp ran with everything on
     pair_data, tile_bounds, tiles_out = residuals
     pair_data = _to_split16(pair_data)
@@ -789,7 +810,7 @@ def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents):
                gp_vmem, tcur, suf, sem_p, sem_g):
         _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref.at[0],
                     g_ref.at[0], gpair_ref, pair_vmem, gp_vmem, tcur, suf,
-                    sem_p, sem_g, mode)
+                    sem_p, sem_g, mode, emit_wet=emit_wet)
 
     g_pair = pl.pallas_call(
         kernel,
@@ -809,9 +830,9 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
-                       seg_counts, C, tiles_x, interpret,
+                       seg_counts, wet_zero, C, tiles_x, interpret,
                        mode="surfel", needs=(True, True, True), aligned=True,
                        pre_cap=0):
     """packed (S, <=LO) f32 logical table, gauss_idx (CAP,) with sentinel
@@ -821,11 +842,20 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
     (BinnedPairs) consumed ONLY by the backward's sort-free pair-grad
     transpose (segsum.presort_transpose); pure-render callers pass dummies.
 
+    wet_zero (S,) zeros: the means2d_zero trick applied to per-splat wet —
+    its COTANGENT is the per-splat accumulated blend weight, recomputed by
+    the backward kernel into grad lane WET_COL and summed by the same
+    presort transpose as every other pair gradient. Training reads wet from
+    d(loss)/d(wet_zero) instead of a forward output, stripping the forward
+    kernel's per-pair wet writes and the duplicate-index segment_sum they
+    fed (~22 ms/step at sedan scale). The primal ignores it.
+
     Fusing the per-pair row gather with the blend lets the gather move
     split-bf16 rows (256B — row gathers are bytes-bound on v5e) while
     gradients stay f32: the backward runs the blend's reverse kernel to
     per-pair f32 logical gradients and transposes the gather with the
     segmented-sum scan (ops/segsum.gather_transpose)."""
+    del wet_zero
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
     return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
@@ -833,14 +863,18 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
 
 
 def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,
-             C, tiles_x, interpret,
+             wet_zero, C, tiles_x, interpret,
              mode="surfel", needs=(True, True, True), aligned=True,
              pre_cap=0):
-    del needs  # training path computes everything (bwd reads d1/d2/last/wet)
+    del wet_zero
+    # the backward reads d1/d2/last (need_dist) but not med; wet arrives
+    # through the gradient lane, so honor the caller's med/wet strips
+    needs = (True, needs[1], needs[2])
     assert aligned, "autodiff requires the chunk-aligned (training) layout"
     packed16 = split_bf16(packed)
     pair16 = packed16[gauss_idx]
-    out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
+    out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
+                          needs)
     return out, (pair16, tile_bounds, pre_idx, seg_starts, seg_counts,
                  out[0], packed.shape)
 
@@ -851,12 +885,16 @@ def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, pre_cap, residuals,
     (pair16, tile_bounds, pre_idx, seg_starts, seg_counts, tiles_out,
      pshape) = residuals
     g_pair = _blend_bwd(C, tiles_x, interpret, mode, needs,
-                        (pair16, tile_bounds, tiles_out), cotangents)[0]
+                        (pair16, tile_bounds, tiles_out), cotangents,
+                        emit_wet=True)[0]
     from envgs_tpu.ops.segsum import presort_transpose
 
     g_packed = presort_transpose(g_pair, pre_idx, seg_starts, seg_counts,
                                  pre_cap, pshape[0], pshape[1])
-    return g_packed, None, None, None, None, None
+    # per-splat wet rides lane WET_COL of the transposed grads; the packed
+    # table's pad-VJP slices it off the packed cotangent downstream
+    g_wet = g_packed[:, WET_COL]
+    return g_packed, None, None, None, None, None, g_wet
 
 
 gather_blend_tiles.defvjp(_gbt_fwd, _gbt_bwd)

@@ -555,7 +555,7 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
 
 def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
                 gpair_ref, grays_ref, pair_vmem, gp_vmem, tcur, suf,
-                sem_p, sem_g):
+                sem_p, sem_g, emit_wet=False):
     r = _rows(A)
     t_id = pl.program_id(0)
     start = bounds_ref[t_id]
@@ -698,7 +698,20 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
         ]
         for i_ in range(A):
             cols.append(red(g_ref[r["aux"] + i_:r["aux"] + i_ + 1, :] * w))
-        cols.append(jnp.zeros((CHUNK, DPAD - len(cols)), jnp.float32))
+        if emit_wet:
+            # forward-exact per-pair wet at WET_COL (see raster_pallas):
+            # rides the pair-grad transpose, replacing the forward's wet
+            # writes + duplicate-index segment reduction
+            from envgs_tpu.ops.raster_pallas import WET_COL
+
+            wet_p = jnp.sum(
+                jnp.where(T_bef * om >= T_CUTOFF, w, 0.0),
+                axis=1, keepdims=True)
+            cols.append(jnp.zeros((CHUNK, WET_COL - len(cols)), jnp.float32))
+            cols.append(wet_p)
+            cols.append(jnp.zeros((CHUNK, DPAD - WET_COL - 1), jnp.float32))
+        else:
+            cols.append(jnp.zeros((CHUNK, DPAD - len(cols)), jnp.float32))
         gp_vmem[...] = jnp.concatenate(cols, axis=1)
         gw_dma = pltpu.make_async_copy(
             gp_vmem, gpair_ref.at[pl.ds(off, CHUNK), :], sem_g)
@@ -819,7 +832,7 @@ def _trace_fwd(pair_data, rays, tile_bounds, A, interpret,
     return out, (pair16, rays, tile_bounds, out[0])
 
 
-def _trace_bwd(A, interpret, needs, residuals, cotangents):
+def _trace_bwd(A, interpret, needs, residuals, cotangents, emit_wet=False):
     del needs
     pair_data, rays, tile_bounds, tiles_out = residuals
     pair_data = _to_split16(pair_data)
@@ -858,7 +871,7 @@ def _trace_bwd(A, interpret, needs, residuals, cotangents):
                grays_ref, pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g):
         _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref.at[0],
                     g_ref.at[0], gpair_ref, grays_ref, pair_vmem, gp_vmem,
-                    tcur, suf, sem_p, sem_g)
+                    tcur, suf, sem_p, sem_g, emit_wet=emit_wet)
 
     g_pair, g_rays = pl.pallas_call(
         kernel,
@@ -880,25 +893,35 @@ _blend_trace.defvjp(_trace_fwd, _trace_bwd)
 # Fused pair gather + blend (the production path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, A, interpret,
-                        needs=(True, True)):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, wet_zero,
+                        A, interpret, needs=(True, True)):
     """packed (S, <=LO) f32 logical scene table -> (tiles, wet).
+
+    wet_zero (S,) zeros: its COTANGENT is the per-splat traced wet sum,
+    recomputed by the backward kernel into grad lane WET_COL and reduced by
+    the same gather_transpose as every other pair gradient (the
+    means2d_zero trick — strips the forward's per-pair wet writes and the
+    duplicate-index segment reduction from the training path).
 
     Fuses the per-pair row gather with the blend: the gather moves split-bf16
     rows (256B, bytes-bound) while gradients stay f32 — the backward runs the
     blend's reverse kernel to per-pair f32 logical gradients and transposes
     the gather with the segmented-sum scan (ops/segsum.gather_transpose)."""
+    del wet_zero
     pair16 = split_bf16(packed)[gauss_idx]
     return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs,
                            skip_dma=True)
 
 
-def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, A, interpret,
-             needs=(True, True)):
-    del needs  # training path computes everything (bwd reads d1/d2/last/wet)
+def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, wet_zero,
+             A, interpret, needs=(True, True)):
+    del wet_zero
+    # the backward reads d1/d2/last (need_dist); wet arrives through the
+    # gradient lane, so honor the caller's wet strip
+    needs = (True, needs[1])
     pair16 = split_bf16(packed)[gauss_idx]
-    out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
+    out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs)
     return out, (pair16, gauss_idx, rays, tile_bounds, out[0], packed.shape)
 
 
@@ -906,12 +929,14 @@ def _gbt_bwd(A, interpret, needs, residuals, cotangents):
     pair16, gauss_idx, rays, tile_bounds, tiles_out, pshape = residuals
     g_pair, g_rays, _ = _trace_bwd(
         A, interpret, needs, (pair16, rays, tile_bounds, tiles_out),
-        cotangents
+        cotangents, emit_wet=True
     )
     g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
                                 interpret, width=pshape[1],
                                 drop_last_segment=True)
-    return g_packed, None, g_rays, None
+    from envgs_tpu.ops.raster_pallas import WET_COL
+
+    return g_packed, None, g_rays, None, g_packed[:, WET_COL]
 
 
 _gather_blend_trace.defvjp(_gbt_fwd, _gbt_bwd)
@@ -927,6 +952,7 @@ def trace_rays(
     total_pair_cap: int | None = 2 ** 21,
     ray_mask: jnp.ndarray | None = None,
     needs: tuple = (True, True),
+    wet_zero: jnp.ndarray | None = None,
 ) -> TraceOutput:
     """Tiled Pallas tracer over an (H, W) ray grid.
 
@@ -935,7 +961,12 @@ def trace_rays(
     culled whole (zero chunks), so sparse reflective regions trace at a
     fraction of the full-frame cost. Masked-out rays inside live tiles still
     receive (unused) blend values, matching the reference's scatter-back
-    semantics where untraced pixels keep the base color."""
+    semantics where untraced pixels keep the base color.
+
+    wet_zero (P,) zeros: when given, per-splat wet arrives as
+    d(loss)/d(wet_zero) through the blend backward and TraceOutput.wet is
+    exact zeros (the forward wet pipeline is stripped — see
+    _gather_blend_trace)."""
     interpret = backend == "tiled_interp"
     H, W = ray_o.shape[:2]
     P = scene.mean.shape[0]
@@ -965,8 +996,13 @@ def trace_rays(
         tile_mask=tile_mask,
     )
     packed = _pack_scene_table(scene)
+    grad_wet = wet_zero is not None
+    fwd_needs = (needs[0], needs[1] and not grad_wet)
+    wz = (jnp.pad(wet_zero, (0, 1)) if grad_wet
+          else jnp.zeros((P + 1,), jnp.float32))
     tiles_out, wet_pairs = _gather_blend_trace(packed, gauss_idx, tiles.rays,
-                                               bounds, A, interpret, needs)
+                                               bounds, wz, A, interpret,
+                                               fwd_needs)
 
     r = _rows(A)
     ty = -(-H // RTILE)
@@ -980,11 +1016,11 @@ def trace_rays(
     rgb = img[:3].transpose(1, 2, 0) + trans[..., None] * bg_color[None, None, :]
     acc = img[r["acc"]]
     dpt = jnp.where(acc > 1e-8, img[r["dpt"]] / jnp.maximum(acc, 1e-8), 0.0)
-    if needs[1]:
+    if fwd_needs[1]:
         wet = jax.ops.segment_sum(
             jax.lax.stop_gradient(wet_pairs), gauss_idx, num_segments=P + 1
         )[:P]
-    else:  # pure render: wet never written (exact zeros, no reduction)
+    else:  # pure render / grad-wet: never written (exact zeros, no reduce)
         wet = jnp.zeros((P,), jnp.float32)
     return TraceOutput(
         rgb=rgb,

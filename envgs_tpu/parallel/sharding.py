@@ -75,8 +75,8 @@ def make_sharded_train_step(
     band_h = H // n_bands
     m2z_w = 3 if model_cfg.use_base_tracing else 2
 
-    def band_loss(msb, mse, bparams, bstats, eparams, estats, m2z, e3z, cres,
-                  rgb, msk, norm, K, R, T, view_idx, it):
+    def band_loss(msb, mse, bparams, bstats, eparams, estats, m2z, e3z,
+                  wz_b, wz_e, cres, rgb, msk, norm, K, R, T, view_idx, it):
         """Per-device on its (1, band_h, W, C) slice -> replicated scalars."""
         camera = Camera(H, W, K, R, T, cam.znear, cam.zfar)
         if cam_opt.enabled:
@@ -88,7 +88,8 @@ def make_sharded_train_step(
                         cam.znear, cam.zfar)
         base = G.GaussianPool(bparams, bstats, msb)
         env = G.GaussianPool(eparams, estats, mse)
-        out = forward_envgs(base, env, camera, it, model_cfg, m2z, e3z)
+        out = forward_envgs(base, env, camera, it, model_cfg, m2z, e3z,
+                            wz_b, wz_e)
         loss, stats = compute_losses(
             out, rgb[0], msk[0], norm[0] if has_norm else None,
             camera.R, it, loss_cfg, bg_brightness=model_cfg.bg_brightness,
@@ -109,6 +110,11 @@ def make_sharded_train_step(
         base, env = state.base, state.env
         m2z = jnp.zeros((base.cap, m2z_w))
         e3z = jnp.zeros((env.cap, 3))
+        # wet hooks (trainer.make_train_step parity): per-splat wet comes
+        # back as their cotangents; the replicated in_spec makes shard_map's
+        # transpose psum the per-band contributions automatically
+        wz_b = jnp.zeros((base.cap,))
+        wz_e = jnp.zeros((env.cap,))
 
         def bandify(x):
             return x.reshape(n_bands, band_h, W, x.shape[-1])
@@ -121,22 +127,27 @@ def make_sharded_train_step(
             functools.partial(band_loss, base.max_sh_degree,
                               env.max_sh_degree),
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P(),
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(),
                       P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
             out_specs=(P(), (P(), P())),
             check_vma=False,  # pallas_call out_shapes carry no vma info
         )
 
-        def loss_fn(bparams, eparams, m2z, e3z, cres):
+        def loss_fn(bparams, eparams, m2z, e3z, wz_b, wz_e, cres):
             return smapped(bparams, base.stats, eparams, env.stats, m2z, e3z,
-                           cres, rgb_b, msk_b, norm_b, K, R, T, view_idx, it)
+                           wz_b, wz_e, cres, rgb_b, msk_b, norm_b, K, R, T,
+                           view_idx, it)
 
-        argnums = (0, 1, 2, 3, 4) if cam_opt.enabled else (0, 1, 2, 3)
+        argnums = (0, 1, 2, 3, 4, 5, 6) if cam_opt.enabled \
+            else (0, 1, 2, 3, 4, 5)
         (loss, (stats, aux)), grads = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True
-        )(base.params, env.params, m2z, e3z, cam_state.res)
-        g_base, g_env, g_m2z, g_e3z = grads[:4]
+        )(base.params, env.params, m2z, e3z, wz_b, wz_e, cam_state.res)
+        g_base, g_env, g_m2z, g_e3z, g_wet_b, g_wet_e = grads[:6]
         base_wet, base_radii, base_vis, env_wet = aux
+        # one of {forward wet, gradient-lane wet} is exact zeros per backend
+        base_wet = base_wet + jax.lax.stop_gradient(g_wet_b)
+        env_wet = env_wet + jax.lax.stop_gradient(g_wet_e)
 
         new_bp, opt_base = sparse_adam_update(
             base.params, g_base, state.opt_base, lr_tree_for(it, lr_base))
@@ -144,7 +155,7 @@ def make_sharded_train_step(
             env.params, g_env, state.opt_env, lr_tree_for(it, lr_env))
 
         if cam_opt.enabled:
-            g_cam: CameraResiduals = grads[4]
+            g_cam: CameraResiduals = grads[6]
             if cam_opt.freeze_extri:
                 g_cam = g_cam._replace(se3=jnp.zeros_like(g_cam.se3))
             if cam_opt.freeze_intri:
@@ -158,7 +169,8 @@ def make_sharded_train_step(
             cam_state = CamOptState(new_res, new_copt)
 
         b_stats = G.accumulate_stats(
-            base.stats, g_m2z, base_vis > 0, weight=base_wet, radii=base_radii)
+            base.stats, g_m2z, (base_vis > 0) | (base_wet > 0),
+            weight=base_wet, radii=base_radii)
         e_stats = G.accumulate_stats(env.stats, g_e3z, env_wet > 0, weight=env_wet)
 
         new_state = TrainState(

@@ -164,14 +164,20 @@ def make_train_step(
         # screen-space (raster) or world-space (traced) densification grads
         m2z = jnp.zeros((base.cap, 3 if model_cfg.use_base_tracing else 2))
         e3z = jnp.zeros((env.cap, 3))
+        # per-splat wet hooks: the blend backward recomputes each pair's
+        # blend weight anyway, so wet rides a spare gradient lane through
+        # the pair-grad transpose instead of a forward segment reduction
+        wz_b = jnp.zeros((base.cap,))
+        wz_e = jnp.zeros((env.cap,))
 
-        def loss_fn(bparams, eparams, m2z, e3z, cres):
+        def loss_fn(bparams, eparams, m2z, e3z, wz_b, wz_e, cres):
             camera = Camera(H, W, K, R, T, znear, zfar)
             if cam_opt.enabled:
                 camera = apply_residual(camera, cres, view_idx)
             b = base._replace(params=bparams)
             e = env._replace(params=eparams)
-            out = forward_envgs(b, e, camera, it, model_cfg, m2z, e3z)
+            out = forward_envgs(b, e, camera, it, model_cfg, m2z, e3z,
+                                wz_b, wz_e)
             loss, stats = compute_losses(
                 out, batch.rgb, batch.msk,
                 batch.norm if has_norm else None,
@@ -181,11 +187,16 @@ def make_train_step(
             )
             return loss, (out, stats)
 
-        argnums = (0, 1, 2, 3, 4) if cam_opt.enabled else (0, 1, 2, 3)
+        argnums = (0, 1, 2, 3, 4, 5, 6) if cam_opt.enabled \
+            else (0, 1, 2, 3, 4, 5)
         (loss, (out, stats)), grads = jax.value_and_grad(
             loss_fn, argnums=argnums, has_aux=True
-        )(base.params, env.params, m2z, e3z, cam_state.res)
-        g_base, g_env, g_m2z, g_e3z = grads[:4]
+        )(base.params, env.params, m2z, e3z, wz_b, wz_e, cam_state.res)
+        g_base, g_env, g_m2z, g_e3z, g_wet_b, g_wet_e = grads[:6]
+        # one of {forward wet, gradient-lane wet} is always exact zeros
+        # (pallas backends use the lane; the ref backends keep forward wet)
+        wet_b = jax.lax.stop_gradient(g_wet_b) + out.base_wet
+        wet_e = jax.lax.stop_gradient(g_wet_e) + out.env_wet
 
         # optimizer updates (sparse semantics: zero grads skip)
         new_bp, opt_base = sparse_adam_update(
@@ -196,7 +207,7 @@ def make_train_step(
         )
 
         if cam_opt.enabled:
-            g_cam: CameraResiduals = grads[4]
+            g_cam: CameraResiduals = grads[6]
             if cam_opt.freeze_extri:
                 g_cam = g_cam._replace(se3=jnp.zeros_like(g_cam.se3))
             if cam_opt.freeze_intri:
@@ -210,13 +221,16 @@ def make_train_step(
             )
             cam_state = CamOptState(new_res, new_copt)
 
-        # densification statistics (add_densification_stats semantics)
+        # densification statistics (add_densification_stats semantics);
+        # visibility folds the gradient-lane wet in (out.base_visibility
+        # alone covers radii + the ref backends' forward wet)
         b_stats = G.accumulate_stats(
-            base.stats, g_m2z, out.base_visibility, weight=out.base_wet,
-            radii=out.base_radii,
+            base.stats, g_m2z, out.base_visibility | (wet_b > 0),
+            weight=wet_b, radii=out.base_radii,
         )
         e_stats = G.accumulate_stats(
-            env.stats, g_e3z, out.env_visibility, weight=out.env_wet,
+            env.stats, g_e3z, out.env_visibility | (wet_e > 0),
+            weight=wet_e,
         )
 
         new_state = TrainState(

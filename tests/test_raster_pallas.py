@@ -147,3 +147,36 @@ def test_render_mode_unaligned_parity():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.trans), np.asarray(ref.trans),
                                atol=2e-4)
+
+
+def test_gradient_lane_wet_matches_forward_wet():
+    """With wet_zero, per-splat wet arrives as d(loss)/d(wet_zero) through
+    the blend backward's WET_COL lane — it must match the forward
+    segment-sum wet (and the forward wet output must be exact zeros)."""
+    cam = _cam()
+    scene = _random_scene(P=150, seed=4)
+    prep = _prep(scene, cam)
+    bg = jnp.zeros(3)
+    P = prep.depth.shape[0]
+
+    out_fwd = rasterize(prep, cam, bg, backend="pallas_interp",
+                        pair_cap=2 ** 12)
+
+    def loss(wz):
+        out = rasterize(prep, cam, bg, backend="pallas_interp",
+                        pair_cap=2 ** 12, wet_zero=wz)
+        # the primal ignores wz; the custom VJP defines its cotangent
+        return jnp.sum(out.rgb)
+
+    g_wet = jax.grad(loss)(jnp.zeros(P))
+    # rtol: the lane rides presort_transpose's prefix-difference reduction,
+    # whose block-spanning cancellation is ~1e-3 relative (the same budget
+    # every parameter gradient gets); exact zeros stay exact zeros, so
+    # visibility (wet > 0) is unaffected
+    np.testing.assert_allclose(np.asarray(g_wet), np.asarray(out_fwd.wet),
+                               rtol=1e-2, atol=1e-4)
+    fw = np.asarray(out_fwd.wet)
+    np.testing.assert_array_equal(np.asarray(g_wet)[fw == 0], 0.0)
+    wet_zeroed = rasterize(prep, cam, bg, backend="pallas_interp",
+                           pair_cap=2 ** 12, wet_zero=jnp.zeros(P)).wet
+    np.testing.assert_array_equal(np.asarray(wet_zeroed), 0.0)

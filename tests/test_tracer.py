@@ -173,3 +173,31 @@ def test_tracer_render_mode_strips_training_outputs():
         np.testing.assert_array_equal(
             np.asarray(getattr(full, k)), np.asarray(getattr(lean, k)), err_msg=k)
     assert np.all(np.asarray(lean.wet) == 0.0)
+
+
+def test_tracer_gradient_lane_wet_matches_forward_wet():
+    """Tracer counterpart of the raster wet-lane test: with wet_zero, the
+    per-splat traced wet arrives as d(loss)/d(wet_zero) and must match the
+    forward segment-sum wet; forward wet output becomes exact zeros."""
+    scene = prepare_trace_scene(*_shell_scene(P=96, seed=5))
+    ray_o, ray_d = _ray_grid(16, 16, seed=6)
+    bg = jnp.zeros(3)
+
+    out_fwd = trace_rays(scene, ray_o, ray_d, bg, backend="tiled_interp",
+                         total_pair_cap=2 ** 12)
+    P = scene.mean.shape[0]
+
+    def loss(wz):
+        out = trace_rays(scene, ray_o, ray_d, bg, backend="tiled_interp",
+                         total_pair_cap=2 ** 12, wet_zero=wz)
+        return jnp.sum(out.rgb)
+
+    g_wet = jax.grad(loss)(jnp.zeros(P))
+    fw = np.asarray(out_fwd.wet)
+    np.testing.assert_allclose(np.asarray(g_wet), fw, rtol=1e-2, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(g_wet)[fw == 0], 0.0)
+    wet_zeroed = trace_rays(scene, ray_o, ray_d, bg,
+                            backend="tiled_interp",
+                            total_pair_cap=2 ** 12,
+                            wet_zero=jnp.zeros(P)).wet
+    np.testing.assert_array_equal(np.asarray(wet_zeroed), 0.0)
