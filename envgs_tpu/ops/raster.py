@@ -186,6 +186,8 @@ def rasterize(
         radii=prep.radius,
         trans=trans,
         num_pairs=bins.num_pairs,
+        d1=img[r["d1"]],
+        d2=img[r["d2"]],
     )
 
 

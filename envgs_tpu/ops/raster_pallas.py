@@ -453,6 +453,11 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
     g_depth = g_ref[r["depth"]:r["depth"] + 1, :]
     g_alpha = g_ref[r["alpha"]:r["alpha"] + 1, :]
     g_dist = g_ref[r["dist"]:r["dist"] + 1, :]
+    # distortion-moment outputs D1 = Σ w·m, D2 = Σ w·m² are consumed by
+    # splat-slab composition (cross-slab distortion term) — honor their
+    # cotangents like the depth row's (zero and fused away otherwise)
+    g_d1 = g_ref[r["d1"]:r["d1"] + 1, :]
+    g_d2 = g_ref[r["d2"]:r["d2"] + 1, :]
 
     tcur[...] = T_fin
     suf[...] = jnp.zeros_like(suf)
@@ -521,7 +526,7 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
         D2_pre = D2_tot - suf[2:3, :] - sm2_inc
 
         # dL/dw
-        g_w = g_alpha + g_depth * z
+        g_w = g_alpha + g_depth * z + g_d1 * m + g_d2 * m * m
         for i_ in range(C):
             ci = _col32(d, _C_COLOR + i_)
             g_w += g_ref[i_:i_ + 1, :] * ci
@@ -543,8 +548,9 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
             0.0,
         )
 
-        # dL/dz (expected depth + distortion-through-m)
-        g_m = g_dist * 2.0 * (m * (A_pre + A_suf) - (D1_pre + D1_suf)) * w
+        # dL/dz (expected depth + distortion/moments through m)
+        g_m = (g_dist * 2.0 * (m * (A_pre + A_suf) - (D1_pre + D1_suf)) * w
+               + (g_d1 + 2.0 * g_d2 * m) * w)
         g_z = w * g_depth + g_m * _dmap_dz(z)
 
         # chain into splat geometry

@@ -51,6 +51,12 @@ class RasterOutput(NamedTuple):
     #   BEFORE the pair_cap clamp — overflow (num_pairs > pair_cap) means
     #   deterministic far-splat drops; surfaced in train stats (None on the
     #   oracle path, which has no pair budget)
+    # distortion accumulators Σ w·m and Σ w·m² (m = mapped depth): consumed
+    # by splat-slab model parallelism, whose cross-slab distortion term is
+    # the closed form T_lo·(α_lo·D2_hi + D2_lo·α_hi − 2·D1_lo·D1_hi)
+    # (parallel/splat_sharding.py); None on paths that never compose
+    d1: jnp.ndarray | None = None  # (H, W)
+    d2: jnp.ndarray | None = None  # (H, W)
 
 
 def rasterize_reference(
@@ -146,4 +152,6 @@ def rasterize_reference(
         wet=wet,
         radii=prep.radius,
         trans=T,
+        d1=d1,
+        d2=d2,
     )

@@ -180,3 +180,30 @@ def test_gradient_lane_wet_matches_forward_wet():
     wet_zeroed = rasterize(prep, cam, bg, backend="pallas_interp",
                            pair_cap=2 ** 12, wet_zero=jnp.zeros(P)).wet
     np.testing.assert_array_equal(np.asarray(wet_zeroed), 0.0)
+
+
+def test_distortion_moment_cotangents_match_oracle():
+    """The d1/d2 moment outputs' cotangents (consumed by splat-slab
+    composition) must flow through the blend backward like the depth
+    row's — verified against the pure-JAX oracle."""
+    cam = _cam(48, 48)
+    scene = _random_scene(P=120, seed=3)
+    bg = jnp.zeros(3)
+    rng = np.random.default_rng(7)
+    gd1 = jnp.asarray(rng.normal(size=(48, 48)).astype(np.float32))
+    gd2 = jnp.asarray(rng.normal(size=(48, 48)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(size=(48, 48)).astype(np.float32))
+
+    def loss(backend, means, quats, scales, opac, colors):
+        prep = prepare_splats(means, quats, scales, opac, colors, cam)
+        out = rasterize(prep, cam, bg, backend=backend, pair_cap=2 ** 12)
+        return (jnp.sum(out.d1 * gd1) + jnp.sum(out.d2 * gd2)
+                + jnp.sum(out.trans * gt))
+
+    g_r = jax.grad(lambda *a: loss("ref", *a), argnums=(0, 3))(*scene)
+    g_p = jax.grad(lambda *a: loss("pallas_interp", *a), argnums=(0, 3))(*scene)
+    for name, a, b in zip(("xyz", "opacity"), g_r, g_p):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-4,
+                                   err_msg=name)
