@@ -154,6 +154,17 @@ def gather_transpose(g, gauss_idx, n_segments: int, S: int,
     pair-row cotangents g (N, >=width) -> (S, width) without duplicate-index
     scatter-adds (sort + contiguous-run reduction + boundary gathers).
 
+    Run boundaries come from MARKER ROWS folded into the main sort instead
+    of a separate searchsorted: one marker key per segment (2*s) interleaves
+    with the data keys (2*id + 1), so after ONE pair sort the marker
+    positions ARE the segment bounds — recovered by a width-1 unique-index
+    scatter (marker keys are distinct; data rows scatter out of range and
+    drop). This replaces the searchsorted(method="sort") pass (~19 ms at a
+    2M cap / 131K segments on v5e — itself a concat+sort) with ~6% more
+    rows through the one sort that was already being paid. Marker rows
+    gather a zero row (payload N) so including them in the runs leaves the
+    per-segment sums unchanged.
+
     drop_last_segment: zero the rows of segment n_segments-1 before the
     reduction — for callers whose last table row is the sentinel/padding
     convention, where blend kernels may leave those cotangent rows as
@@ -163,25 +174,33 @@ def gather_transpose(g, gauss_idx, n_segments: int, S: int,
     del interpret  # pure XLA now (no Pallas segscan on this path)
     N = gauss_idx.shape[0]
     width = g.shape[1] if width is None else width
-    ids_sorted, perm = jax.lax.sort(
-        (gauss_idx, jnp.arange(N, dtype=jnp.int32)), num_keys=1,
+    S_q = n_segments + 1  # markers 0..n_segments (right edge included)
+    keys = jnp.concatenate([gauss_idx * 2 + 1,
+                            jnp.arange(S_q, dtype=jnp.int32) * 2])
+    payload = jnp.concatenate([jnp.arange(N, dtype=jnp.int32),
+                               jnp.full((S_q,), N, jnp.int32)])
+    keys_s, pay_s = jax.lax.sort(
+        (keys, payload), num_keys=1,
         is_stable=False,  # within-segment order is irrelevant for a sum
     )
-    # run boundaries for ALL segment ids at once. Since ids are integers in
-    # [0, n_segments), right[s] == left[s+1] exactly (no value can fall
-    # strictly between s and s+1), so ONE searchsorted over S+1 queries
-    # yields both sides. method="sort" lowers to a merge-by-sort instead of
-    # XLA's per-query binary-search while-loop: 127 ms -> ~19 ms at a 2M
-    # cap / 131K segments on v5e.
-    q = jnp.arange(n_segments + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(ids_sorted, q, side="left",
-                              method="sort").astype(jnp.int32)
-    left, right = bounds[:-1], bounds[1:]
-    g_sorted = g[perm]  # row gather into segment-sorted order
+    M = N + S_q
+    posm = jnp.arange(M, dtype=jnp.int32)
+    # marker j sits at bounds[j]; data rows target distinct out-of-range
+    # slots (>= S_q) so the scatter stays unique-index and drops them
+    dst = jnp.where((keys_s & 1) == 0, keys_s >> 1, S_q + posm)
+    bounds = jnp.zeros((S_q,), jnp.int32).at[dst].set(
+        posm, mode="drop", unique_indices=True)
+    gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    g_sorted = gpad[pay_s]  # row gather into segment-sorted order
     if drop_last_segment:
-        sentinel = (ids_sorted >= n_segments - 1)[:, None]
+        sentinel = ((keys_s >> 1) >= n_segments - 1)[:, None]
         g_sorted = jnp.where(sentinel, 0.0, g_sorted)
-    return contiguous_run_sums(g_sorted, left, right - left, S, width)
+    # data-only runs (skip the marker row): empty segments keep count 0 so
+    # their totals stay EXACT zeros (sparse Adam's grad==0 skip depends on
+    # untouched splats having exactly-zero gradients, not prefix-difference
+    # rounding noise)
+    return contiguous_run_sums(g_sorted, bounds[:-1] + 1,
+                               bounds[1:] - bounds[:-1] - 1, S, width)
 
 
 def _gr_bwd(n_segments, interpret, res, g):

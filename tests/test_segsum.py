@@ -69,3 +69,36 @@ def test_permute_rows_vjp_matches_scatter_transpose():
     np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
     np.testing.assert_allclose(np.asarray(vjp_ref(cot)[0]),
                                np.asarray(vjp_new(cot)[0]), rtol=0, atol=0)
+
+
+def test_gather_transpose_marker_bounds_and_empty_segments():
+    """The marker-row transpose must match a numpy scatter-add and keep
+    EXACT zeros for segments with no pairs (sparse Adam's grad==0 skip
+    relies on untouched splats seeing exact-zero gradients, not
+    prefix-difference rounding noise)."""
+    from envgs_tpu.ops.segsum import gather_transpose
+
+    rng = np.random.default_rng(7)
+    N, S = 2048, 301
+    # leave a band of segments empty on purpose
+    ids = rng.integers(0, 150, N).astype(np.int32)
+    ids[::7] = rng.integers(250, S, ids[::7].shape[0])
+    g = rng.standard_normal((N, 48)).astype(np.float32)
+    out = np.asarray(gather_transpose(
+        jnp.asarray(g), jnp.asarray(ids), S, S, width=40))
+    ref = np.zeros((S, 40), np.float32)
+    np.add.at(ref, ids, g[:, :40])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    counts = np.bincount(ids, minlength=S)
+    assert (out[counts == 0] == 0).all()
+
+    # drop_last_segment zeroes the sentinel row even when its cotangent
+    # rows are NaN (garbage pair rows must not poison the reduction)
+    g_nan = g.copy()
+    g_nan[ids == S - 1] = np.nan
+    out2 = np.asarray(gather_transpose(
+        jnp.asarray(g_nan), jnp.asarray(ids), S, S, width=40,
+        drop_last_segment=True))
+    ref2 = ref.copy()
+    ref2[S - 1] = 0.0
+    np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-4)
