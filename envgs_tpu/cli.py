@@ -97,6 +97,13 @@ def build_from_config(cfg: Config):
 
     sup = cfg.get("model_cfg", {}).get("supervisor_cfg", {})
     loss_cfg = _named(LossConfig, sup)
+    # chained aux supervisor family (the reference's supervisor_cfgs list):
+    # model_cfg.supervisor_cfg.aux_cfg.{dpt_loss_weight, ...} enables
+    # depth/flow/mask/entropy terms by key (train/aux_supervisors.py)
+    from envgs_tpu.train.aux_supervisors import AuxLossConfig
+
+    aux_raw = sup.get("aux_cfg", {}) or {}
+    aux_cfg = _named(AuxLossConfig, aux_raw) if aux_raw else None
 
     ocfg = cfg.get("runner_cfg", {}).get("optimizer_cfg", {})
     lr_table = ocfg.get("lr_table", {})
@@ -150,12 +157,12 @@ def build_from_config(cfg: Config):
         init_opacity=float(scfg.get("env_init_occ", 0.1)),
     )
     return views, eval_views, base, env, model_cfg, loss_cfg, sched, \
-        dens_base, dens_env, lr_base, lr_env
+        dens_base, dens_env, lr_base, lr_env, aux_cfg
 
 
 def make_runner(cfg: Config) -> Runner:
     (views, eval_views, base, env, model_cfg, loss_cfg, sched, dens_base,
-     dens_env, lr_base, lr_env) = build_from_config(cfg)
+     dens_env, lr_base, lr_env, aux_cfg) = build_from_config(cfg)
     rcfg = cfg.get("runner_cfg", {})
 
     # OptimizableCamera residuals (configs/specs/optcam.yaml semantics)
@@ -223,6 +230,7 @@ def make_runner(cfg: Config) -> Runner:
         eval_every_iters=rcfg.get("eval_every_iters", 0),
         resume=rcfg.get("resume", True),
         cam_opt=cam_opt,
+        aux_cfg=aux_cfg,
         ratio_sched=ratio_sched,
         crop_sched=crop_sched,
         patch_size=patch_size,

@@ -89,6 +89,37 @@ class View:
     D: np.ndarray = None
     H: int = 0
     W: int = 0
+    depth_path: Optional[str] = None
+
+
+def _load_depth(path: str, H: int, W: int) -> np.ndarray:
+    """Metric depth map -> (H, W, 1) f32. Supports .npy/.npz (raw meters,
+    the reference's dpt convention — data_utils.load_depth) and 16-bit png
+    (millimeters, the common mono-depth export)."""
+    if path.endswith(".npy"):
+        d = np.load(path).astype(np.float32)
+    elif path.endswith(".npz"):
+        z = np.load(path)
+        d = z[list(z.keys())[0]].astype(np.float32)
+    else:
+        try:
+            import cv2
+
+            d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if d is None:
+                raise FileNotFoundError(path)
+            d = d.astype(np.float32)
+            if d.dtype != np.float32 or d.max() > 1000:  # uint16 mm -> m
+                d = d / 1000.0
+        except ImportError:
+            from PIL import Image
+
+            d = np.asarray(Image.open(path), np.float32) / 1000.0
+    if d.ndim == 3:
+        d = d[..., 0]
+    if d.shape[:2] != (H, W):
+        d = _resize(d[..., None], H, W)[..., 0]
+    return d[..., None]
 
 
 @DATASETS.register
@@ -106,12 +137,14 @@ class MultiViewDataset:
         images_dir: str = "images",
         masks_dir: str = "masks",
         normals_dir: str = "normals",
+        depths_dir: str = "depths",
         split: str = "train",
         ratio: float = 1.0,
         view_sample: list | None = None,  # [begin, end, step]
         eval_every: int = 8,  # every-8th-view protocol
         use_masks: bool = False,
         use_normals: bool = False,
+        use_depths: bool = False,
         near: float = 0.02,
         far: float = 20.0,
         frame: int = 0,
@@ -157,6 +190,16 @@ class MultiViewDataset:
             mpath = self._fuzzy(mpath) if use_masks else None
             npath = os.path.join(data_root, normals_dir, n, frames[fidx])
             npath = self._fuzzy(npath) if use_normals else None
+            dpath = None
+            if use_depths:
+                dpath = os.path.join(data_root, depths_dir, n, frames[fidx])
+                stem = os.path.splitext(dpath)[0]
+                for ext in (".npy", ".npz", ".png", ".jpg"):
+                    if os.path.exists(stem + ext):
+                        dpath = stem + ext
+                        break
+                else:
+                    dpath = None
 
             H = c.get("H") or self._probe_hw(ipath)[0]
             W = c.get("W") or self._probe_hw(ipath)[1]
@@ -169,7 +212,8 @@ class MultiViewDataset:
                 znear=c.get("n", near), zfar=c.get("f", far),
             )
             self.views.append(
-                View(n, cam, ipath, mpath, npath, c["K"], c.get("D"), Hs, Ws)
+                View(n, cam, ipath, mpath, npath, c["K"], c.get("D"), Hs, Ws,
+                     depth_path=dpath)
             )
 
         # scene extent: camera-center bounding sphere radius (the reference's
@@ -219,6 +263,21 @@ class MultiViewDataset:
             if os.path.isdir(d):
                 _, _, (xyz, rgb, _) = load_colmap_model(d)
                 return xyz.astype(np.float32), rgb.astype(np.float32) / 255.0
+        # SfM-free captures (blender/dnerf synthetic): random cloud inside
+        # the scene bounds — the reference's random-init path
+        # (gaussian2d_sampler.py:194-216)
+        md = os.path.join(self.data_root, "metadata.json")
+        if os.path.exists(md):
+            import json as _json
+
+            with open(md) as f:
+                meta = _json.load(f)
+            lo, hi = np.asarray(meta["bounds"], np.float32)
+            rng = np.random.default_rng(0)
+            n = int(os.environ.get("ENVGS_RANDOM_INIT_PTS", 4096))
+            xyz = rng.random((n, 3), np.float32) * (hi - lo) + lo
+            return xyz.astype(np.float32), rng.random(
+                (n, 3), np.float32) * 0.5 + 0.25
         raise FileNotFoundError(
             f"no SfM point cloud found under {self.data_root}"
         )
@@ -257,6 +316,8 @@ class MultiViewDataset:
         if v.normal_path:
             nm = _resize(_imread(v.normal_path)[..., :3], v.H, v.W)
             item["norm"] = nm
+        if v.depth_path:
+            item["dpt"] = _load_depth(v.depth_path, v.H, v.W)
         if self.cache_images:
             self.cache[i] = item
         return item

@@ -268,10 +268,12 @@ def render_env(
     if cfg.tracer_backend == "ref":
         return trace_rays_reference(scene, ref_o, ref_d, bg)
     train = not cfg.render_mode
+    # need_geo=False additionally strips normal/aux/depth accumulation from
+    # the env blend (the composite consumes only rgb in pure render)
     return tracer.trace_rays(scene, ref_o, ref_d, bg,
                              backend=cfg.tracer_backend,
                              total_pair_cap=cfg.env_pair_cap,
-                             ray_mask=ray_mask, needs=(train, train),
+                             ray_mask=ray_mask, needs=(train, train, train),
                              wet_zero=wet_zero)
 
 

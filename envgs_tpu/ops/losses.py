@@ -243,15 +243,30 @@ def lpips(x, y):
         std = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
         return (t - mean) / std
 
-    # VGG16 feature taps used by LPIPS
+    # VGG16 feature taps used by LPIPS; lin0..lin4 calibration weights are
+    # picked up from the lpips_jax npz when exported (metric_utils.py:93
+    # uses compute_lpips(net='vgg'), which applies them per tap) — without
+    # them this is uncalibrated VGG perceptual distance
+    from envgs_tpu.ops.lpips_jax import load_weights
+
+    lw = load_weights()
+    lins = lw[1] if isinstance(lw, tuple) else None
     taps = {3, 8, 15, 22, 29}
     with torch.no_grad():
         fx, fy = prep(x), prep(y)
         dist = 0.0
+        ti = 0
         for i, layer in enumerate(net):
             fx, fy = layer(fx), layer(fy)
             if i in taps:
                 nx = fx / (fx.norm(dim=1, keepdim=True) + 1e-10)
                 ny = fy / (fy.norm(dim=1, keepdim=True) + 1e-10)
-                dist = dist + ((nx - ny) ** 2).mean()
+                d2 = (nx - ny) ** 2
+                if lins is not None:
+                    wch = torch.from_numpy(
+                        np.asarray(lins[ti])).view(1, -1, 1, 1)
+                    dist = dist + (d2 * wch).sum(dim=1).mean()
+                else:
+                    dist = dist + d2.mean()
+                ti += 1
     return float(dist)

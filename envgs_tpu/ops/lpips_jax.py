@@ -41,25 +41,45 @@ def default_weight_path() -> str:
 
 
 def load_weights(path: str | None = None):
-    """npz {conv0_w (kh,kw,cin,cout), conv0_b (cout), ...} -> params list.
+    """npz {conv0_w (kh,kw,cin,cout), conv0_b (cout), ..., lin0_w (C0,), ...}
+    -> (convs, lins).
+
+    `lin{i}_w` are the LPIPS package's learned per-channel calibration
+    weights (its lin0..lin4 1x1 convs, squeezed) — WITHOUT them the tap
+    distance is plain unit-normalized VGG perceptual distance, not LPIPS,
+    and numbers are not comparable to published tables. When the npz lacks
+    them, lins is None and lpips_pair falls back to the uncalibrated
+    formula (documented in the evaluator output).
 
     Returns None when the file does not exist (callers fall back / NaN)."""
     path = path or default_weight_path()
     if not os.path.exists(path):
         return None
     z = np.load(path)
-    params = []
+    convs = []
     i = 0
     while f"conv{i}_w" in z:
-        params.append((jnp.asarray(z[f"conv{i}_w"]),
-                       jnp.asarray(z[f"conv{i}_b"])))
+        convs.append((jnp.asarray(z[f"conv{i}_w"]),
+                      jnp.asarray(z[f"conv{i}_b"])))
         i += 1
-    return params or None
+    if not convs:
+        return None
+    lins = None
+    if "lin0_w" in z:
+        lins = []
+        j = 0
+        while f"lin{j}_w" in z:
+            lins.append(jnp.asarray(z[f"lin{j}_w"]).reshape(-1))
+            j += 1
+    return (convs, lins)
 
 
 def save_weights_from_torchvision(path: str | None = None) -> str:
-    """Convert torchvision's VGG16 checkpoint to the npz layout (requires
-    the torch checkpoint to be downloadable/cached — run off-image)."""
+    """Convert torchvision's VGG16 checkpoint to the npz layout, and ALSO
+    export the `lpips` package's lin0..lin4 calibration weights when that
+    package is importable (requires both checkpoints to be downloadable or
+    cached — run off-image). Without the lin weights the npz still loads,
+    but distances are uncalibrated VGG perceptual distance, not LPIPS."""
     import torchvision
 
     net = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
@@ -73,6 +93,16 @@ def save_weights_from_torchvision(path: str | None = None) -> str:
             out[f"conv{i}_w"] = np.transpose(w, (2, 3, 1, 0))
             out[f"conv{i}_b"] = layer.bias.detach().numpy()
             i += 1
+    try:  # the reference's net='vgg' calibration (metric_utils.py:93)
+        import lpips as _lpips_pkg
+
+        m = _lpips_pkg.LPIPS(net="vgg", verbose=False)
+        for j, lin in enumerate(m.lins):
+            w = lin.model[-1].weight.detach().numpy()  # (1, C, 1, 1)
+            out[f"lin{j}_w"] = w.reshape(-1)
+    except Exception as e:  # pragma: no cover - environment dependent
+        print(f"[lpips_jax] lin weights NOT exported ({e}); npz will give "
+              "uncalibrated VGG distance")
     np.savez_compressed(path, **out)
     return path
 
@@ -109,16 +139,27 @@ def vgg16_taps(params, x):
 
 def lpips_pair(params, x, y):
     """LPIPS distance between (H, W, 3) images in [0,1] (jittable,
-    differentiable — usable as the perceptual training loss)."""
-    fx = vgg16_taps(params, x[None])
-    fy = vgg16_taps(params, y[None])
+    differentiable — usable as the perceptual training loss).
+
+    params: (convs, lins) from load_weights, or a bare convs list (legacy).
+    With lins, each tap computes the true LPIPS
+        d_i = mean_hw( sum_c lin_i[c] * (nx - ny)_c^2 )
+    (the lpips package's lin 1x1 convs + spatial_average); without lins it
+    degrades to the unit-normalized tap MSE (uncalibrated VGG distance)."""
+    convs, lins = params if isinstance(params, tuple) else (params, None)
+    fx = vgg16_taps(convs, x[None])
+    fy = vgg16_taps(convs, y[None])
     dist = 0.0
-    for ax, ay in zip(fx, fy):
+    for i, (ax, ay) in enumerate(zip(fx, fy)):
         nx = ax * jax.lax.rsqrt(
             jnp.sum(ax * ax, axis=-1, keepdims=True) + 1e-10)
         ny = ay * jax.lax.rsqrt(
             jnp.sum(ay * ay, axis=-1, keepdims=True) + 1e-10)
-        dist = dist + jnp.mean((nx - ny) ** 2)
+        d2 = (nx - ny) ** 2
+        if lins is not None:
+            dist = dist + jnp.mean(jnp.sum(d2 * lins[i], axis=-1))
+        else:
+            dist = dist + jnp.mean(d2)
     return dist
 
 

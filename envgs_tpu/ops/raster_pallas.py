@@ -123,6 +123,36 @@ def _cumsum_sublane(x, S, exclusive, reverse=False):
     return total - x if exclusive else total
 
 
+def _cumprod_ex_sublane(x, S):
+    """EXCLUSIVE prefix product along axis 0 of (S, NPIX) via roll-mults.
+
+    Replaces exp(cumsum(log1p(-a))) in the forward transmittance chain —
+    same log2(S) sweep count but no transcendentals (~17% of the forward
+    blend's VPU slots at CHUNK=64). Underflow to 0 only happens below the
+    T_CUTOFF early-termination threshold, where contributions are already
+    discarded, so the semantics match the log-domain path."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    # shift down by one with identity fill: inclusive scan of the shifted
+    # array == exclusive scan of x
+    total = jnp.where(row >= 1, pltpu.roll(x, shift=1, axis=0), 1.0)
+    sh = 1
+    while sh < S:
+        r = pltpu.roll(total, shift=sh, axis=0)
+        total = total * jnp.where(row >= sh, r, 1.0)
+        sh *= 2
+    return total
+
+
+def _prod_sublane(x, S):
+    """Product along axis 0 of (S, NPIX) -> (1, NPIX) by halving folds
+    (Mosaic has no reduce_prod lowering; log2(S) multiplies on shrinking
+    shapes beat a full scan sweep)."""
+    while S > 1:
+        S //= 2
+        x = x[:S] * x[S:]
+    return x
+
+
 def _pixel_coords(t, tiles_x):
     """Pixel centers of tile t as (1, NPIX) rows (integer-coord convention)."""
     tx = jax.lax.rem(t, tiles_x)
@@ -319,10 +349,9 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
                 a = jnp.where(inb, a, 0.0)
                 amask = amask & inb
 
-            log_om = jnp.log1p(-a)
-            cum_ex = _cumsum_sublane(log_om, CHUNK, exclusive=True)
-            Ttil = tcur[...] * jnp.exp(cum_ex)  # (S, NPIX)
-            contrib = amask & (Ttil * (1.0 - a) >= T_CUTOFF)
+            om = 1.0 - a
+            Ttil = tcur[...] * _cumprod_ex_sublane(om, CHUNK)
+            contrib = amask & (Ttil * om >= T_CUTOFF)
             w = jnp.where(contrib, a * Ttil, 0.0)
 
             if need_dist:  # distortion loss terms: training only
@@ -340,6 +369,11 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
                 )
                 dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
 
+            # NOTE: accumulating the per-splat coefficient rows as one
+            # lhs-contracted MXU matmul was measured SLOWER than these VPU
+            # multiply+reduce passes (18.2 vs 16.2 ms at bench scale) — the
+            # per-chunk coef relayout + MXU latency serialize against the
+            # VPU pipeline. Keep the loops.
             for i in range(C):
                 ci = _col32(d, _C_COLOR + i)
                 acc_ref[i:i + 1, :] += jnp.sum(w * ci, axis=0, keepdims=True)
@@ -382,8 +416,8 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
                     acc_ref[r["last"]:r["last"] + 1, :],
                     jnp.max(jnp.where(contrib, rank, -1.0), axis=0, keepdims=True),
                 )
-            tcur[...] = tcur[...] * jnp.exp(
-                jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True)
+            tcur[...] = tcur[...] * _prod_sublane(
+                jnp.where(contrib, om, 1.0), CHUNK
             )
 
             if need_wet:

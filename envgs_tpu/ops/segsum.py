@@ -161,9 +161,10 @@ def gather_transpose(g, gauss_idx, n_segments: int, S: int,
     scatter (marker keys are distinct; data rows scatter out of range and
     drop). This replaces the searchsorted(method="sort") pass (~19 ms at a
     2M cap / 131K segments on v5e — itself a concat+sort) with ~6% more
-    rows through the one sort that was already being paid. Marker rows
-    gather a zero row (payload N) so including them in the runs leaves the
-    per-segment sums unchanged.
+    rows through the one sort that was already being paid. Marker rows are
+    EXCLUDED from the runs (starts = bounds[:-1] + 1, counts subtract 1);
+    their payload N points at an appended zero row only so the gather stays
+    in range and no garbage/NaN enters the triangular-matmul block prefix.
 
     drop_last_segment: zero the rows of segment n_segments-1 before the
     reduction — for callers whose last table row is the sentinel/padding
@@ -190,6 +191,10 @@ def gather_transpose(g, gauss_idx, n_segments: int, S: int,
     dst = jnp.where((keys_s & 1) == 0, keys_s >> 1, S_q + posm)
     bounds = jnp.zeros((S_q,), jnp.int32).at[dst].set(
         posm, mode="drop", unique_indices=True)
+    # NOTE: this concatenate materializes one extra copy of the (N, width)
+    # cotangent matrix purely so payload N has a zero row to gather. If
+    # profiles ever show it hot, clamp pay_s to N-1 for the gather and zero
+    # marker rows with a where on (keys_s & 1) == 0 instead.
     gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
     g_sorted = gpad[pay_s]  # row gather into segment-sorted order
     if drop_last_segment:

@@ -32,7 +32,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from envgs_tpu.ops.common import ALPHA_MAX, ALPHA_MIN, T_CUTOFF
-from envgs_tpu.ops.raster_pallas import LO, _col32, _cumsum_sublane, split_bf16
+from envgs_tpu.ops.raster_pallas import (
+    LO,
+    _col32,
+    _cumprod_ex_sublane,
+    _cumsum_sublane,
+    _prod_sublane,
+    split_bf16,
+)
 from envgs_tpu.ops.segsum import gather_rows, gather_transpose
 from envgs_tpu.ops.tracer_ref import (
     TraceOutput,
@@ -407,7 +414,8 @@ def _ray_splat_terms(d, rays):
 
 def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
                 pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued,
-                need_dist=True, need_wet=True, skip_dma=True):
+                need_dist=True, need_wet=True, skip_dma=True,
+                need_geo=True):
     r = _rows(A)
     t_id = pl.program_id(0)
     start = bounds_ref[t_id]
@@ -474,10 +482,9 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
             a, amask, _cm, _G, t, _u, _v, _dn, flip, _e = _ray_splat_terms(
                 d, rays
             )
-            log_om = jnp.log1p(-a)
-            cum_ex = _cumsum_sublane(log_om, CHUNK, exclusive=True)
-            Ttil = tcur[...] * jnp.exp(cum_ex)
-            contrib = amask & (Ttil * (1.0 - a) >= T_CUTOFF)
+            om = 1.0 - a
+            Ttil = tcur[...] * _cumprod_ex_sublane(om, CHUNK)
+            contrib = amask & (Ttil * om >= T_CUTOFF)
             w = jnp.where(contrib, a * Ttil, 0.0)
 
             if need_dist:  # distortion loss terms: training only
@@ -492,19 +499,25 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
                     wm2, CHUNK, exclusive=True)
                 dist_c = w * (m * m * A_pre + D2_pre - 2.0 * m * D1_pre)
 
+            # (MXU-matmul accumulation of these rows measured slower — see
+            # raster_pallas._fwd_kernel note); need_geo=False strips the
+            # normal/aux/depth rows for pure-render callers
             for i in range(3):
                 ci = _col32(d, _C_COLOR + i)
                 acc_ref[i:i + 1, :] += jnp.sum(w * ci, axis=0, keepdims=True)
-                ni = _col32(d, _C_N + i) * flip
-                acc_ref[r["normal"] + i:r["normal"] + i + 1, :] += jnp.sum(
-                    w * ni, axis=0, keepdims=True)
-            for i in range(A):
-                xi = _col32(d, _C_AUX + i)
-                acc_ref[r["aux"] + i:r["aux"] + i + 1, :] += jnp.sum(
-                    w * xi, axis=0, keepdims=True)
-            acc_ref[r["dpt"]:r["dpt"] + 1, :] += jnp.sum(
-                w * t, axis=0, keepdims=True)
-            acc_ref[r["acc"]:r["acc"] + 1, :] += jnp.sum(w, axis=0, keepdims=True)
+            acc_ref[r["acc"]:r["acc"] + 1, :] += jnp.sum(
+                w, axis=0, keepdims=True)
+            if need_geo:
+                for i in range(3):
+                    ni = _col32(d, _C_N + i) * flip
+                    acc_ref[r["normal"] + i:r["normal"] + i + 1, :] += (
+                        jnp.sum(w * ni, axis=0, keepdims=True))
+                for i in range(A):
+                    xi = _col32(d, _C_AUX + i)
+                    acc_ref[r["aux"] + i:r["aux"] + i + 1, :] += jnp.sum(
+                        w * xi, axis=0, keepdims=True)
+                acc_ref[r["dpt"]:r["dpt"] + 1, :] += jnp.sum(
+                    w * t, axis=0, keepdims=True)
             if need_dist:
                 acc_ref[r["d1"]:r["d1"] + 1, :] += jnp.sum(
                     wm, axis=0, keepdims=True)
@@ -519,8 +532,8 @@ def _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, acc_ref, wet_ref,
                     acc_ref[r["last"]:r["last"] + 1, :],
                     jnp.max(jnp.where(contrib, rank, -1.0), axis=0,
                             keepdims=True))
-            tcur[...] = tcur[...] * jnp.exp(
-                jnp.sum(jnp.where(contrib, log_om, 0.0), axis=0, keepdims=True))
+            tcur[...] = tcur[...] * _prod_sublane(
+                jnp.where(contrib, om, 1.0), CHUNK)
 
             if need_wet:
                 wsum = jnp.sum(w, axis=1, keepdims=True)  # (CHUNK, 1)
@@ -776,7 +789,10 @@ def _blend_trace(pair_data, rays, tile_bounds, A, interpret,
 
 def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
                     needs=(True, True), skip_dma=True):
-    need_dist, need_wet = needs
+    # needs = (need_dist, need_wet[, need_geo]) — need_geo=False (pure
+    # render) strips the normal/aux/depth accumulation from the kernel
+    need_dist, need_wet = needs[0], needs[1]
+    need_geo = needs[2] if len(needs) > 2 else True
     cap = pair_data.shape[0]
     T = tile_bounds.shape[0] - 1
     FPAD = _fpad(A)
@@ -807,7 +823,8 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
                wet_vmem, tcur, sem_p, sem_w, issued):
         _fwd_kernel(A, bounds_ref, pair_ref, rays_ref, out_ref.at[0],
                     wet_ref, pair_vmem, wet_vmem, tcur, sem_p, sem_w,
-                    issued, need_dist, need_wet, skip_dma=skip_dma)
+                    issued, need_dist, need_wet, skip_dma=skip_dma,
+                    need_geo=need_geo)
 
     tiles_out, wet = pl.pallas_call(
         kernel,

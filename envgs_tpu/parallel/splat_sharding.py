@@ -48,14 +48,24 @@ no model-parallel axis at all.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from envgs_tpu.models import gaussians as G
-from envgs_tpu.models.envgs import EnvGSConfig, _pool_colors
+from envgs_tpu.models.envgs import (
+    EnvGSConfig,
+    EnvGSOutput,
+    _pool_colors,
+    _pool_colors_at,
+    reflect_rays,
+)
+from envgs_tpu.ops import tracer
 from envgs_tpu.ops.common import prepare_splats
 from envgs_tpu.ops.raster import RasterOutput, rasterize, render_decode
+from envgs_tpu.ops.tracer_ref import TraceOutput, prepare_trace_scene
 from envgs_tpu.utils.camera import Camera
 
 

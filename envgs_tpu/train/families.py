@@ -59,6 +59,129 @@ def _save_params(model_dir: str, params, it: int):
     )
 
 
+class FamilyLoop:
+    """Shared runner services for the family train loops — every family
+    gets what the reference's single VolumetricVideoRunner gives all models
+    (volumetric_video_runner.py:307-366): resume from latest.npz, periodic
+    latest checkpointing (a crash loses at most save_latest_every iters),
+    tensorboard recorder scalars, console ETA lines, and eval cadence.
+
+    Usage:
+        loop = FamilyLoop(cfg, "nerf")
+        params, opt_state, start = loop.restore(params, opt_state)
+        for it in range(start, loop.total):
+            ... step ...
+            loop.step_done(it, aux, params, opt_state)
+        loop.finish(params, opt_state)
+    """
+
+    def __init__(self, cfg: Config, default_exp: str):
+        import time as _time
+
+        rcfg = cfg.get("runner_cfg", {})
+        self.total = int(rcfg.get("epochs", 1)) * int(rcfg.get("ep_iter",
+                                                               500))
+        self.log_every = int(rcfg.get("log_interval", 50))
+        self.save_latest_every = int(rcfg.get("save_latest_every", 1000))
+        self.eval_every_iters = int(rcfg.get("eval_every_iters", 0))
+        self.resume = bool(rcfg.get("resume", True))
+        exp = cfg.get("exp_name", default_exp)
+        root = cfg.get("out_root", "data")
+        self.model_dir = os.path.join(root, "trained_model", exp)
+        self.result_dir = os.path.join(root, "result", exp)
+        os.makedirs(self.model_dir, exist_ok=True)
+        from envgs_tpu.parallel.multihost import is_main_process
+        from envgs_tpu.train.recorder import Recorder
+
+        self.recorder = Recorder(
+            os.path.join(root, "record", exp),
+            enabled=bool(rcfg.get("record", True)) and is_main_process(),
+            resolved_config=cfg.to_dict() if hasattr(cfg, "to_dict")
+            else dict(cfg),
+        )
+        self._t0 = _time.time()
+        self._start = 0
+
+    # -- checkpoint IO: params + optimizer state + iteration ----------------
+    def save(self, it: int, params, opt_state):
+        import jax
+
+        from envgs_tpu.parallel.multihost import is_main_process
+
+        if not is_main_process():
+            return
+        pf, _ = jax.tree_util.tree_flatten(params)
+        of, _ = jax.tree_util.tree_flatten(opt_state)
+        np.savez_compressed(
+            os.path.join(self.model_dir, "latest.npz"), iter=it,
+            **{f"p{i}": np.asarray(x) for i, x in enumerate(pf)},
+            **{f"o{i}": np.asarray(x) for i, x in enumerate(of)},
+        )
+
+    def restore(self, params, opt_state):
+        """latest.npz -> (params, opt_state, start_iter); passthrough when
+        absent/mismatched. Leaf count + shapes must match the current tree
+        (families have static parameter shapes)."""
+        import jax
+
+        path = os.path.join(self.model_dir, "latest.npz")
+        if not self.resume or not os.path.exists(path):
+            return params, opt_state, 0
+        z = np.load(path)
+        pf, ptd = jax.tree_util.tree_flatten(params)
+        of, otd = jax.tree_util.tree_flatten(opt_state)
+        try:
+            new_p = [jnp_like(pf[i], z[f"p{i}"]) for i in range(len(pf))]
+            new_o = [jnp_like(of[i], z[f"o{i}"]) for i in range(len(of))]
+        except KeyError:
+            print(f"[resume] {path} layout mismatch; starting fresh")
+            return params, opt_state, 0
+        self._start = int(z["iter"])
+        print(f"[resume] {path} @ iter {self._start}")
+        return (jax.tree_util.tree_unflatten(ptd, new_p),
+                jax.tree_util.tree_unflatten(otd, new_o), self._start)
+
+    # -- per-iteration services ---------------------------------------------
+    def step_done(self, it: int, aux: dict, params, opt_state,
+                  eval_fn=None):
+        import time as _time
+
+        nxt = it + 1
+        if it % self.log_every == 0 or nxt == self.total:
+            stats = {k: float(v) for k, v in aux.items() if np.ndim(v) == 0}
+            self.recorder.record("TRAIN", stats, it=it)
+            done = it - self._start + 1
+            eta = (_time.time() - self._t0) / max(done, 1) * (
+                self.total - nxt)
+            line = " ".join(f"{k} {v:.4f}" for k, v in stats.items()
+                            if k in ("loss", "psnr"))
+            print(f"iter {it}/{self.total} {line} eta {eta / 60:.1f}m",
+                  flush=True)
+        if self.save_latest_every and nxt % self.save_latest_every == 0:
+            self.save(nxt, params, opt_state)
+        if (self.eval_every_iters and eval_fn is not None
+                and nxt % self.eval_every_iters == 0):
+            try:
+                eval_fn(nxt)
+            except Exception as e:  # eval must not kill training
+                print(f"[eval error ignored] {e}")
+
+    def finish(self, params, opt_state):
+        self.save(self.total, params, opt_state)
+        self.recorder.close()
+
+
+def jnp_like(ref, arr):
+    """Restore a checkpoint leaf with the reference leaf's dtype; shape
+    mismatches raise (families use static shapes)."""
+    import jax.numpy as jnp
+
+    a = np.asarray(arr)
+    if a.shape != tuple(np.shape(ref)):
+        raise KeyError(f"shape {a.shape} != {np.shape(ref)}")
+    return jnp.asarray(a, jnp.asarray(ref).dtype)
+
+
 def _load_views_generic(cfg: Config):
     """dataset_cfg -> (train views, eval views); synthetic or on-disk."""
     dcfg = cfg.get("dataset_cfg", {})
@@ -161,23 +284,23 @@ def train_nerf(cfg: Config):
     lr = float(rcfg.get("lr", 5e-4))
     near, far = _near_far(cfg, views)
     model_dir, result_dir = _dirs(cfg)
+    loop = FamilyLoop(cfg, "nerf")
 
     init, step = make_nerf_train_step(ncfg, lr)
     key = jax.random.PRNGKey(int(rcfg.get("seed", 0)))
     key, ik = jax.random.split(key)
     params, opt_state = init(ik)
+    params, opt_state, start = loop.restore(params, opt_state)
     ro, rd, rgb = _ray_pool(views)
     nf = jnp.full((n_rays,), near), jnp.full((n_rays,), far)
     rng = np.random.default_rng(0)
-    for it in range(total):
+    for it in range(start, loop.total):
         idx = jnp.asarray(rng.integers(0, ro.shape[0], n_rays))
         key, sk = jax.random.split(key)
         params, opt_state, aux = step(
             params, opt_state, ro[idx], rd[idx], nf[0], nf[1], rgb[idx], sk)
-        if it % log_every == 0 or it == total - 1:
-            print(f"iter {it}/{total} loss {float(aux['loss']):.4f} "
-                  f"psnr {float(aux['psnr']):.2f}", flush=True)
-    _save_params(model_dir, params, total)
+        loop.step_done(it, aux, params, opt_state)
+    loop.finish(params, opt_state)
 
     if eval_views:
         def render_chunk(o, d):
@@ -211,24 +334,24 @@ def train_neus(cfg: Config):
     lr = float(rcfg.get("lr", 5e-4))
     near, far = _near_far(cfg, views)
     model_dir, result_dir = _dirs(cfg)
+    loop = FamilyLoop(cfg, "neus")
 
     init, step = make_neus_train_step(ncfg, lr)
     key = jax.random.PRNGKey(int(rcfg.get("seed", 0)))
     key, ik = jax.random.split(key)
     params, opt_state = init(ik)
+    params, opt_state, start = loop.restore(params, opt_state)
     ro, rd, rgb = _ray_pool(views)
     rng = np.random.default_rng(0)
-    for it in range(total):
+    for it in range(start, loop.total):
         idx = jnp.asarray(rng.integers(0, ro.shape[0], n_rays))
         key, sk = jax.random.split(key)
         params, opt_state, aux = step(
             params, opt_state, ro[idx], rd[idx],
             jnp.full((n_rays,), near), jnp.full((n_rays,), far),
             rgb[idx], sk)
-        if it % log_every == 0 or it == total - 1:
-            print(f"iter {it}/{total} loss {float(aux['loss']):.4f} "
-                  f"psnr {float(aux['psnr']):.2f}", flush=True)
-    _save_params(model_dir, params, total)
+        loop.step_done(it, aux, params, opt_state)
+    loop.finish(params, opt_state)
 
     if eval_views:
         def render_chunk(o, d):
@@ -298,8 +421,10 @@ def train_enerf(cfg: Config):
     init, step = make_enerf_train_step(ecfg, cam0, n_srcs, near, far, lr)
     key = jax.random.PRNGKey(int(rcfg.get("seed", 0)))
     params, opt_state = init(key)
+    loop = FamilyLoop(cfg, "enerf")
+    params, opt_state, start = loop.restore(params, opt_state)
     rng = np.random.default_rng(0)
-    for it in range(total):
+    for it in range(start, loop.total):
         v, srcs = item(int(rng.integers(0, len(views))), views)
         cam = v["camera"]
         src_imgs = jnp.asarray(np.stack([np.asarray(s["rgb"]) for s in srcs]))
@@ -309,10 +434,8 @@ def train_enerf(cfg: Config):
         params, opt_state, aux = step(
             params, opt_state, jnp.asarray(cam.K), cam.R, cam.T,
             src_imgs, Ks, Rs, Ts, jnp.asarray(v["rgb"]))
-        if it % log_every == 0 or it == total - 1:
-            print(f"iter {it}/{total} loss {float(aux['loss']):.4f} "
-                  f"psnr {float(aux['psnr']):.2f}", flush=True)
-    _save_params(model_dir, params, total)
+        loop.step_done(it, aux, params, opt_state)
+    loop.finish(params, opt_state)
 
     if eval_views:
         ev = Evaluator(result_dir)
@@ -330,6 +453,104 @@ def train_enerf(cfg: Config):
         print(json.dumps(summary["summary"], indent=2))
         return summary
     return None
+
+
+@TRAINERS.register(name="STGSModel")
+@TRAINERS.register(name="STGSSampler")
+def train_stgs(cfg: Config):
+    """Spacetime-Gaussian (STGS/FDGS) family: dynamic 3DGS with temporal
+    RBF opacity + linear motion, trained over a (view, time) stream —
+    the reference trains STGSModel through the same generic runner
+    (easyvolcap/utils/stgs_utils.py:63-661)."""
+    import jax
+    import jax.numpy as jnp
+
+    from envgs_tpu.models import gaussians as G
+    from envgs_tpu.models.stgs import (
+        STGSConfig,
+        init_stgs_pool,
+        init_stgs_state,
+        make_stgs_train_step,
+        render_stgs,
+        reset_t,
+        save_stgs_ply,
+        stgs_lr_config,
+        stgs_maintenance,
+    )
+    from envgs_tpu.train.evaluator import Evaluator
+
+    views, eval_views = _load_views_generic(cfg)
+    mcfg = cfg.get("model_cfg", {})
+    scfg = {**mcfg.get("network_cfg", {}), **mcfg.get("sampler_cfg", {})}
+    gcfg = _named(STGSConfig, scfg)
+    if jax.default_backend() == "cpu" and gcfg.raster_backend == "pallas":
+        gcfg = gcfg._replace(raster_backend="ref")
+    rcfg, total, log_every = _runner_cfg(cfg)
+    model_dir, result_dir = _dirs(cfg)
+    loop = FamilyLoop(cfg, "stgs")
+
+    # init: SfM points (on-disk) or random cloud (synthetic), spread over t
+    dcfg = cfg.get("dataset_cfg", {})
+    rng = np.random.default_rng(int(rcfg.get("seed", 0)))
+    if dcfg.get("source", "synthetic") == "synthetic":
+        P0 = int(scfg.get("n_points", 2048))
+        pts = rng.uniform(-1, 1, (P0, 3)).astype(np.float32)
+        pts[:, 2] += 3.0
+        cols = rng.random((P0, 3)).astype(np.float32)
+    else:
+        from envgs_tpu.data.dataset import MultiViewDataset
+
+        ds = call_filtered(MultiViewDataset, dict(dcfg, split="train"))
+        pts, cols = ds.load_sfm(dcfg.get("preload_gs"))
+    times = rng.random(len(pts)).astype(np.float32)
+    cap = int(scfg.get("pool_cap", max(len(pts) * 4, 1024)))
+    pool = init_stgs_pool(pts, times, cols, cap, gcfg)
+    state = init_stgs_state(pool)
+    lr_cfg = stgs_lr_config(duration=gcfg.duration)
+    dens = _named(G.DensifyConfig, dict(scfg, max_gs=cap))
+    densify_every = int(scfg.get("densification_interval", 200))
+    densify_until = int(scfg.get("densify_until_iter", total // 2))
+    reset_t_every = int(scfg.get("reset_t_interval", 0))
+
+    step_cache: dict = {}
+
+    def step_for(cam):
+        k = (cam.H, cam.W)
+        if k not in step_cache:
+            step_cache[k] = make_stgs_train_step(gcfg, cam, lr_cfg,
+                                                 donate=False)
+        return step_cache[k]
+
+    state, _, start = loop.restore(state, ())
+    key = jax.random.PRNGKey(int(rcfg.get("seed", 0)))
+    for it in range(start, loop.total):
+        if 0 < it < densify_until and it % densify_every == 0:
+            key, mk = jax.random.split(key)
+            state = stgs_maintenance(state, dens, mk)
+        if reset_t_every and it > 0 and it % reset_t_every == 0:
+            pool2, opt2 = reset_t(state.pool, state.opt, 0.0, gcfg.duration)
+            state = state._replace(pool=pool2, opt=opt2)
+        v = views[int(rng.integers(0, len(views)))]
+        cam = v["camera"]
+        tt = jnp.asarray(float(v.get("t", 0.0)))
+        state, aux = step_for(cam)(state, jnp.asarray(cam.K), cam.R, cam.T,
+                                   tt, jnp.asarray(v["rgb"]),
+                                   jnp.asarray(it))
+        loop.step_done(it, aux, state, ())
+    loop.finish(state, ())
+    save_stgs_ply(state.pool, os.path.join(model_dir, "point_cloud.ply"))
+
+    if eval_views:
+        ev = Evaluator(result_dir)
+        for i, v in enumerate(eval_views):
+            out = render_stgs(state.pool, v["camera"],
+                              jnp.asarray(float(v.get("t", 0.0))), gcfg)
+            ev.evaluate(np.clip(np.asarray(out.rgb), 0, 1),
+                        np.asarray(v["rgb"]), name=v.get("name", str(i)))
+        summary = ev.summarize()
+        print(json.dumps(summary["summary"], indent=2))
+        return summary
+    return state
 
 
 @TRAINERS.register(name="PointPlanesSampler")
@@ -378,18 +599,18 @@ def train_point_planes(cfg: Config):
     init, step = make_point_planes_train_step(pcfg, cam0, lr)
     key = jax.random.PRNGKey(int(rcfg.get("seed", 0)))
     params, opt_state = init(key, jnp.asarray(pts))
+    loop = FamilyLoop(cfg, "point_planes")
+    params, opt_state, start = loop.restore(params, opt_state)
     rng = np.random.default_rng(0)
-    for it in range(total):
+    for it in range(start, loop.total):
         v = views[int(rng.integers(0, len(views)))]
         cam = v["camera"]
         t = jnp.asarray(float(v.get("t", 0.0)))
         params, opt_state, aux = step(
             params, opt_state, t, jnp.asarray(cam.K), cam.R, cam.T,
             jnp.asarray(v["rgb"]))
-        if it % log_every == 0 or it == total - 1:
-            print(f"iter {it}/{total} loss {float(aux['loss']):.4f} "
-                  f"psnr {float(aux['psnr']):.2f}", flush=True)
-    _save_params(model_dir, params, total)
+        loop.step_done(it, aux, params, opt_state)
+    loop.finish(params, opt_state)
 
     if eval_views:
         ev = Evaluator(result_dir)

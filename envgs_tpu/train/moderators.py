@@ -73,7 +73,7 @@ def center_crop_view(view: dict, ratio: float) -> dict:
     K[1, 2] -= y0
     out = dict(view)
     out["camera"] = cam._replace(H=H, W=W, K=K)
-    for k in ("rgb", "msk", "norm"):
+    for k in ("rgb", "msk", "norm", "dpt"):
         if k in view:
             out[k] = view[k][y0:y0 + H, x0:x0 + W]
     return out
@@ -93,7 +93,7 @@ def resize_view(view: dict, ratio: float) -> dict:
     K[1] *= ry
     out = dict(view)
     out["camera"] = cam._replace(H=H, W=W, K=np.asarray(K))
-    for k in ("rgb", "msk", "norm"):
+    for k in ("rgb", "msk", "norm", "dpt"):
         if k in view:
             im = view[k]
             yy = (np.linspace(0, im.shape[0] - 1, H)).astype(int)

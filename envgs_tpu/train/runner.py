@@ -80,6 +80,7 @@ class Runner:
         crop_sched: CenterCropSchedule | None = None,
         patch_size: tuple[int, int] | None = None,
         alternating=None,  # AlternatingSchedule: it -> "patch" | "full"
+        aux_cfg=None,  # AuxLossConfig | None — chained aux supervisors
         collect_timing: bool = False,
         timer_sync: bool = False,
         timer_record_to_file: str | None = None,
@@ -105,6 +106,7 @@ class Runner:
         self.eval_every_iters = eval_every_iters
         self.resume = resume
         self.cam_opt_cfg = cam_opt
+        self.aux_cfg = aux_cfg
         self.ratio_sched = ratio_sched
         self.crop_sched = crop_sched
         self._crop_views: dict[float, dict[int, dict]] = {}
@@ -156,7 +158,7 @@ class Runner:
             self._step_cache[key] = make_train_step(
                 cam, self.model_cfg, self.loss_cfg, self.lr_base, self.lr_env,
                 lpips_fn=self._lpips_fn(), has_norm=self.has_norm,
-                cam_opt=self.cam_opt_cfg,
+                cam_opt=self.cam_opt_cfg, aux_cfg=self.aux_cfg,
             )
         return self._step_cache[key]
 
@@ -175,10 +177,12 @@ class Runner:
 
     def _batch(self, view) -> Batch:
         H, W = view["camera"].H, view["camera"].W
+        dpt = view.get("dpt")
         return Batch(
             rgb=jnp.asarray(view["rgb"]),
             msk=jnp.asarray(view.get("msk", np.ones((H, W, 1), np.float32))),
             norm=jnp.asarray(view.get("norm", np.zeros((H, W, 3), np.float32))),
+            dpt=jnp.asarray(dpt) if dpt is not None else None,
         )
 
     def _train_view(self, view_i: int, it: int, rng) -> tuple[dict, Camera, int]:
@@ -217,7 +221,7 @@ class Runner:
             K[1, 2] -= y0
             crop = {
                 k: view[k][y0:y0 + ph, x0:x0 + pw]
-                for k in ("rgb", "msk", "norm") if k in view
+                for k in ("rgb", "msk", "norm", "dpt") if k in view
             }
             view = dict(view, **crop)
             cam = cam._replace(H=ph, W=pw, K=K)

@@ -71,8 +71,16 @@ def compute_losses(
     cfg: LossConfig,
     bg_brightness: float = 0.0,
     lpips_fn=None,
+    aux_cfg=None,  # AuxLossConfig | None — chained aux supervisor family
+    gt_dpt: jnp.ndarray | None = None,  # (H, W, 1) metric depth prior
 ):
-    """-> (total_loss, stats dict)."""
+    """-> (total_loss, stats dict).
+
+    `aux_cfg` chains the aux supervisor family (train/aux_supervisors.py)
+    into the same total — the functional analog of the reference's
+    SequentialSupervisor list (configs/models/envgs.yaml:70-73 +
+    models/supervisors/sequential_supervisor.py): any enabled aux term
+    (weight > 0 with its inputs present) adds to the loss and the stats."""
     stats = {}
     itf = jnp.asarray(it, jnp.float32)
     loss = jnp.asarray(0.0, jnp.float32)
@@ -161,6 +169,24 @@ def compute_losses(
         gate = (itf > cfg.perc_loss_start_iter).astype(jnp.float32)
         stats["perc_loss"] = pl_
         loss = loss + cfg.perc_loss_weight * gate * pl_
+
+    # --- chained aux supervisors (SequentialSupervisor analog) ---
+    if aux_cfg is not None and any(
+            isinstance(v, (int, float)) and v > 0 for v in aux_cfg):
+        from envgs_tpu.train.aux_supervisors import compute_aux_losses
+
+        out_d = {
+            "dpt_map": out.dpt_map[..., 0],
+            "acc_map": out.acc_map,
+            "occ": out.acc_map,
+        }
+        batch_d = {"msk": gt_msk}
+        if gt_dpt is not None:
+            batch_d["dpt"] = gt_dpt[..., 0]
+        aux_loss, aux_stats = compute_aux_losses(aux_cfg, out_d, batch_d, it)
+        for k, v in aux_stats.items():
+            stats["aux_" + k] = v
+        loss = loss + aux_loss
 
     stats["loss"] = loss
     return loss, stats

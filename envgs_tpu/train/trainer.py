@@ -109,6 +109,7 @@ class Batch(NamedTuple):
     rgb: jnp.ndarray  # (H, W, 3)
     msk: jnp.ndarray  # (H, W, 1)
     norm: jnp.ndarray  # (H, W, 3) monocular prior (zeros if absent)
+    dpt: jnp.ndarray | None = None  # (H, W, 1) metric depth prior
 
 
 class CamOptState(NamedTuple):
@@ -145,6 +146,7 @@ def make_train_step(
     donate: bool = True,
     has_norm: bool = False,
     cam_opt: CamOptConfig = CamOptConfig(),
+    aux_cfg=None,  # AuxLossConfig | None — chained aux supervisors
 ):
     """Build the jitted train step for a fixed camera resolution.
 
@@ -184,6 +186,7 @@ def make_train_step(
                 camera.R, it, loss_cfg,
                 bg_brightness=model_cfg.bg_brightness,
                 lpips_fn=lpips_fn,
+                aux_cfg=aux_cfg, gt_dpt=batch.dpt,
             )
             return loss, (out, stats)
 

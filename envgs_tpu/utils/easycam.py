@@ -85,6 +85,8 @@ def read_cameras(data_root: str) -> dict[str, dict]:
             cam["f"] = float(np.asarray(extri[f"f_{name}"]).item())
         if f"bounds_{name}" in extri:
             cam["bounds"] = extri[f"bounds_{name}"].reshape(2, 3)
+        if f"t_{name}" in extri:  # dnerf-style per-view timestamp
+            cam["t"] = float(np.asarray(extri[f"t_{name}"]).item())
         cams[name] = cam
     return cams
 
@@ -104,6 +106,8 @@ def write_cameras(cams: dict[str, dict], data_root: str):
         extri[f"R_{name}"] = rodrigues_inv(R).reshape(3, 1)
         extri[f"Rot_{name}"] = R
         extri[f"T_{name}"] = np.asarray(cam["T"]).reshape(3, 1)
+        if "t" in cam:  # dnerf-style per-view timestamp
+            extri[f"t_{name}"] = float(cam["t"])
     with open(os.path.join(data_root, "intri.yml"), "w") as f:
         f.write(_dump_opencv_yaml(intri))
     with open(os.path.join(data_root, "extri.yml"), "w") as f:

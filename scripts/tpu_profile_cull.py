@@ -2,8 +2,8 @@
 
 Separates: coarse cone-vs-chunk scores, +top_k chunk pick, +refine gather/
 cone test, +packed radial sort, full cull_and_sort (incl. aligned-layout
-sweeps) — the knobs are per_tile_cap (refine width) and P (chunk count NC,
-the top_k width).
+sweeps) — the knobs are per_tile_cap (refine width) and P (the splat count;
+the chunk count NC = ceil(P / CHUNK) is the top_k width).
 """
 import sys
 import time

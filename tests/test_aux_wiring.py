@@ -1,0 +1,115 @@
+"""Aux supervisor family wired into config-driven training (VERDICT r2 #2).
+
+The reference chains extra supervisors through SequentialSupervisor's
+supervisor_cfgs list (easyvolcap/models/supervisors/sequential_supervisor.py
++ configs/models/envgs.yaml:70-73). Here the same capability is the
+`supervisor_cfg.aux_cfg` subtree -> AuxLossConfig chained inside
+compute_losses: these tests prove an aux term is (a) enableable from config,
+(b) present in the train-step stats, and (c) actually moves its metric.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+from envgs_tpu.models.gaussians import create_pool
+from envgs_tpu.train.aux_supervisors import AuxLossConfig
+from envgs_tpu.train.optimizer import LRConfig
+from envgs_tpu.train.supervisor import LossConfig
+from envgs_tpu.train.trainer import Batch, init_train_state, make_train_step
+from envgs_tpu.utils.camera import make_camera
+
+H = W = 32
+
+
+def _cam(f=40.0):
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    return make_camera(H, W, K, np.eye(3, dtype=np.float32),
+                       np.zeros(3, np.float32))
+
+
+def _pools(P=48, cap=64):
+    rng = np.random.default_rng(0)
+    xyz = np.concatenate(
+        [rng.normal(size=(P, 2)) * 0.5, rng.random((P, 1)) * 2 + 2.0], -1
+    ).astype(np.float32)
+    base = create_pool(xyz, rng.random((P, 3)).astype(np.float32), cap=cap,
+                       sh_degree=1, init_opacity=0.6)
+    env = create_pool((xyz * 3).astype(np.float32),
+                      rng.random((P, 3)).astype(np.float32), cap=cap,
+                      sh_degree=1, init_opacity=0.3)
+    return base, env
+
+
+_CFG = EnvGSConfig(raster_backend="ref", tracer_backend="ref",
+                   pair_cap=2 ** 12, env_pair_cap=2 ** 12,
+                   render_reflection=False, reflection_start_iter=10 ** 9)
+_LOSS = LossConfig(img_loss_weight=1.0, ssim_loss_weight=0.0,
+                   gs_norm_loss_weight=0.0, norm_loss_weight=0.0,
+                   perc_loss_weight=0.0)
+
+
+def test_aux_depth_loss_trains_depth():
+    """Enabling dpt_loss_weight must surface aux_dpt_loss in stats AND pull
+    the rendered depth toward the GT depth over a few steps."""
+    cam = _cam()
+    base, env = _pools()
+    gt = forward_envgs(base, env, cam, jnp.asarray(0), _CFG)
+    # target: the scene's own depth shifted closer by 20% -> a real signal
+    dpt_gt = jnp.where(gt.acc_map > 0.3, gt.dpt_map * 0.8, 0.0)
+
+    aux = AuxLossConfig(dpt_loss_weight=1.0, dpt_loss_kind="l1")
+    lr = LRConfig(use_opacity_pulse=False)
+    step = make_train_step(cam, _CFG, _LOSS, lr, lr, donate=False,
+                           aux_cfg=aux)
+    state = init_train_state(base, env, jax.random.PRNGKey(0))
+    batch = Batch(rgb=jnp.clip(gt.rgb_map, 0, 1),
+                  msk=jnp.ones((H, W, 1)), norm=jnp.zeros((H, W, 3)),
+                  dpt=dpt_gt)
+    vals = []
+    for it in range(30):
+        state, stats = step(state, batch, cam.K, cam.R, cam.T,
+                            jnp.asarray(it))
+        vals.append(float(stats["aux_dpt_loss"]))
+    assert "aux_dpt_loss" in stats and np.isfinite(vals[0])
+    # the depth loss must move: mean of last 5 < 0.7x mean of first 5
+    assert np.mean(vals[-5:]) < 0.7 * np.mean(vals[:5]), vals[::5]
+
+
+def test_aux_disabled_is_identical():
+    """aux_cfg=None and an all-zero AuxLossConfig produce the same loss."""
+    cam = _cam()
+    base, env = _pools()
+    state = init_train_state(base, env, jax.random.PRNGKey(0))
+    batch = Batch(rgb=jnp.zeros((H, W, 3)), msk=jnp.ones((H, W, 1)),
+                  norm=jnp.zeros((H, W, 3)))
+    lr = LRConfig(use_opacity_pulse=False)
+    s1 = make_train_step(cam, _CFG, _LOSS, lr, lr, donate=False)
+    s2 = make_train_step(cam, _CFG, _LOSS, lr, lr, donate=False,
+                         aux_cfg=AuxLossConfig())
+    _, st1 = s1(state, batch, cam.K, cam.R, cam.T, jnp.asarray(0))
+    _, st2 = s2(state, batch, cam.K, cam.R, cam.T, jnp.asarray(0))
+    assert float(st1["loss"]) == float(st2["loss"])
+    assert not any(k.startswith("aux_") for k in st2)
+
+
+def test_aux_miou_mask_from_config_chain():
+    """Config subtree -> AuxLossConfig -> stats: the cli wiring path."""
+    from envgs_tpu.cli import _named
+
+    sup = {"img_loss_weight": 0.8,
+           "aux_cfg": {"msk_loss_weight": 0.1, "ent_loss_weight": 0.01}}
+    aux = _named(AuxLossConfig, sup["aux_cfg"])
+    assert aux.msk_loss_weight == 0.1 and aux.ent_loss_weight == 0.01
+
+    cam = _cam()
+    base, env = _pools()
+    lr = LRConfig(use_opacity_pulse=False)
+    step = make_train_step(cam, _CFG, _LOSS, lr, lr, donate=False,
+                           aux_cfg=aux)
+    state = init_train_state(base, env, jax.random.PRNGKey(0))
+    batch = Batch(rgb=jnp.zeros((H, W, 3)), msk=jnp.ones((H, W, 1)),
+                  norm=jnp.zeros((H, W, 3)))
+    _, stats = step(state, batch, cam.K, cam.R, cam.T, jnp.asarray(0))
+    assert "aux_msk_loss" in stats and "aux_ent_loss" in stats
+    assert np.isfinite(float(stats["loss"]))

