@@ -165,6 +165,10 @@ def bin_splats(
     t0 = y0 * tx_n + x0  # base tile id
     sid = jnp.zeros((pair_cap,), jnp.int32).at[pos].set(ids, mode="drop")
     gid = jax.lax.cummax(sid)  # per-slot source splat (depth order)
+    # barrier: keep the row gather below on XLA's fast gather path — fusing
+    # computed indices into a gather lowers it to a pathological loop
+    # (measured 18 ms vs 0.05 ms at a 2M cap, scripts/tpu_micro_culltail.py)
+    gid = jax.lax.optimization_barrier(gid)
     cols = [starts, t0, jnp.maximum(nx, 1)]
     if rowcull is not None:
         # float params ride the int32 table via bitcast (nothing does
@@ -176,7 +180,7 @@ def bin_splats(
             for i in (0, 1, 5, 6, 7, 8, 9, 10)
         ]
     table = jnp.stack(cols, axis=1)  # (P, 3 or 11) int32
-    filled_rows = table[gid]  # (cap, k)
+    filled_rows = jax.lax.optimization_barrier(table[gid])  # (cap, k)
     start_s, t0_s, nx_s = (filled_rows[:, 0], filled_rows[:, 1],
                            filled_rows[:, 2])
 
@@ -255,8 +259,11 @@ def bin_splats(
     valid_dst = src < limit
     src = jnp.where(valid_dst, jnp.clip(src, 0, pair_cap - 1), 0)
     # one consolidated 2-col near-identity gather (row-rate bound: a second
-    # separate (cap,) gather would double the cost)
-    both = jnp.stack([gauss_s, pre_s], axis=1)[src]
+    # separate (cap,) gather would double the cost); barriers keep it on the
+    # fast gather path (no index/select fusion — see gid note above)
+    src = jax.lax.optimization_barrier(src)
+    both = jax.lax.optimization_barrier(
+        jnp.stack([gauss_s, pre_s], axis=1)[src])
     gauss_aligned = jnp.where(valid_dst, both[:, 0], P)
     pre_aligned = jnp.where(valid_dst, both[:, 1], pair_cap)
 

@@ -896,8 +896,11 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
     per-pair f32 logical gradients and transposes the gather with the
     segmented-sum scan (ops/segsum.gather_transpose)."""
     del wet_zero
-    packed16 = split_bf16(packed)
-    pair16 = packed16[gauss_idx]
+    # barriers: keep the pair-row gather on the fast gather path (fusing
+    # the split-bf16 producer or downstream consumers into the gather
+    # lowers it to a pathological loop — scripts/tpu_micro_culltail.py)
+    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
+    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
     return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
                            needs, aligned, skip_dma=True)
 
@@ -911,8 +914,8 @@ def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,
     # through the gradient lane, so honor the caller's med/wet strips
     needs = (True, needs[1], needs[2])
     assert aligned, "autodiff requires the chunk-aligned (training) layout"
-    packed16 = split_bf16(packed)
-    pair16 = packed16[gauss_idx]
+    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
+    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
     out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
                           needs)
     return out, (pair16, tile_bounds, pre_idx, seg_starts, seg_counts,

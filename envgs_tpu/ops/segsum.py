@@ -134,7 +134,11 @@ def contiguous_run_sums(rows, starts, counts, S: int, width: int):
     flat = inpre.reshape(cap, width)
 
     def P_at(idx):  # global inclusive prefix at row idx (row-rate gathers)
-        return blockpre[idx // B] + flat[idx]
+        # barriers: keep both gathers on the fast path (index/consumer
+        # fusion into a gather is pathological — tpu_micro_culltail.py)
+        idx = jax.lax.optimization_barrier(idx)
+        return (jax.lax.optimization_barrier(blockpre[idx // B])
+                + jax.lax.optimization_barrier(flat[idx]))
 
     ends = jnp.clip(starts + counts - 1, 0, cap - 1)
     st = jnp.clip(starts, 0, cap - 1)
@@ -195,8 +199,10 @@ def gather_transpose(g, gauss_idx, n_segments: int, S: int,
     # cotangent matrix purely so payload N has a zero row to gather. If
     # profiles ever show it hot, clamp pay_s to N-1 for the gather and zero
     # marker rows with a where on (keys_s & 1) == 0 instead.
-    gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-    g_sorted = gpad[pay_s]  # row gather into segment-sorted order
+    gpad = jax.lax.optimization_barrier(
+        jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)]))
+    # row gather into segment-sorted order (barriered: fast gather path)
+    g_sorted = jax.lax.optimization_barrier(gpad[pay_s])
     if drop_last_segment:
         sentinel = ((keys_s >> 1) >= n_segments - 1)[:, None]
         g_sorted = jnp.where(sentinel, 0.0, g_sorted)

@@ -47,13 +47,15 @@ radius3 = 3.0 * jnp.maximum(su, sv)
 
 
 def timeit(fn, *a, n=5, name=""):
-    out = fn(*a)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    # block_until_ready, NOT a fetch: np.asarray pulls the whole buffer
+    # through the axon relay and pollutes per-call time by transfer/n
+    out = jax.block_until_ready(fn(*a))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*a)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
-    print(f"{name}: {(time.perf_counter() - t0) / n * 1000:.2f} ms")
+    jax.block_until_ready(out)
+    print(f"{name}: {(time.perf_counter() - t0) / n * 1000:.2f} ms",
+          flush=True)
     return out
 
 

@@ -27,7 +27,14 @@ xyz = np.concatenate(
      (rng.random((P_BASE, 1)) * 5 + 2.0)], -1).astype(np.float32)
 base = create_pool(xyz, rng.random((P_BASE, 3)).astype(np.float32),
                    cap=P_BASE, sh_degree=3, init_opacity=0.8)
+qv = np.stack([
+    np.ones(P_BASE, np.float32),
+    0.18 * np.sin(2.0 * xyz[:, 0]),
+    0.18 * np.cos(2.0 * xyz[:, 1]),
+    0.10 * np.sin(xyz[:, 0] + xyz[:, 1]),
+], -1).astype(np.float32)  # bench.py's coherent (wavy) normal field
 base = base._replace(params=base.params._replace(
+    rotation=jnp.asarray(qv),
     scaling=jnp.full((P_BASE, 2), np.log(0.012)),
     specular=jnp.full((P_BASE, 1), float(logit(jnp.asarray(0.3))))))
 dirs = rng.normal(size=(P_ENV, 3))
@@ -48,14 +55,14 @@ it = jnp.asarray(10)
 
 
 def timeit(fn, *a, n=10, name=""):
-    out = fn(*a)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[0]
+    # block_until_ready, NOT an np.asarray fetch: fetching an output pulls
+    # the whole buffer through the axon relay (tens of MB for image/pair
+    # outputs), polluting per-call time by transfer/n
+    out = jax.block_until_ready(fn(*a))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*a)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf).ravel()[0]
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name}: {dt * 1000:.2f} ms", flush=True)
     return out
@@ -132,6 +139,6 @@ table_fn2 = jax.jit(lambda p: rp.split_bf16(_pack_table(p, None)))
 packed2 = timeit(table_fn2, prep, name="  base pack table")
 gather2 = timeit(gather_fn, packed2, bins.gauss_idx, name="  base pair gather")
 blend_fn = jax.jit(lambda pd, b: rp._blend_fwd_call(
-    pd, b, 5, bins.tiles_x, False, needs=(False, False, False),
+    pd, b, 5, int(bins.tiles_x), False, needs=(False, False, False),
     aligned=False))
 timeit(blend_fn, gather2, bins.tile_bounds, name="  base blend fwd (stripped)")
