@@ -325,12 +325,21 @@ def forward_envgs(
     env_means3d_zero: jnp.ndarray | None = None,
     wet_zero: jnp.ndarray | None = None,
     env_wet_zero: jnp.ndarray | None = None,
+    base_pass=None,
+    env_pass=None,
 ) -> EnvGSOutput:
     """wet_zero / env_wet_zero: (P,)/(Pe,) zeros hooks — when given, the
     per-splat accumulated blend weights arrive as their COTANGENTS (the
     means2d_zero trick) and base_wet/env_wet outputs are exact zeros;
-    the trainer then derives visibility from the gradients."""
-    if cfg.use_base_tracing:
+    the trainer then derives visibility from the gradients.
+
+    base_pass / env_pass: injectable replacements for the two render passes
+    (same signatures as render_base / render_env) — the splat-slab
+    model-parallel path (parallel/splat_sharding.py) supplies slab-sharded
+    versions while every composite/filter/gate stage here stays shared."""
+    if base_pass is not None:
+        b = base_pass(base, cam, cfg, means2d_zero, wet_zero=wet_zero)
+    elif cfg.use_base_tracing:
         b = render_base_traced(base, cam, cfg, means2d_zero,
                                wet_zero=wet_zero)
     else:
@@ -375,8 +384,9 @@ def forward_envgs(
             ref_msk = jnp.where(gate, msk, jnp.ones_like(msk))
 
     def with_env(_):
-        e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero,
-                       ray_mask=ref_msk, wet_zero=env_wet_zero)
+        ep = env_pass if env_pass is not None else render_env
+        e = ep(env, ref_o, ref_d, cfg, env_means3d_zero,
+               ray_mask=ref_msk, wet_zero=env_wet_zero)
         dp = (e.dropped_pairs if e.dropped_pairs is not None
               else jnp.asarray(0, jnp.int32))
         return (e.rgb, e.dpt[..., None], e.acc[..., None], e.wet, e.trans,

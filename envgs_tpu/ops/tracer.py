@@ -341,9 +341,13 @@ def cull_and_sort(
     k = j - pstart
     valid_dst = k < climit
     flat = jnp.clip(tile_of, 0, T - 1) * K + jnp.clip(k, 0, K - 1)
-    gauss_aligned = jnp.where(
-        valid_dst, idmat.reshape(-1)[flat], P
-    )
+    # barriers force the index and the gather to materialize as standalone
+    # ops: XLA fusing the index computation / the select into the gather
+    # loop drops it off the fast gather path (measured 18 ms -> 0.05 ms for
+    # this compaction at a 2M cap on v5e — scripts/tpu_micro_culltail.py)
+    flat = jax.lax.optimization_barrier(flat)
+    gathered = jax.lax.optimization_barrier(idmat.reshape(-1)[flat])
+    gauss_aligned = jnp.where(valid_dst, gathered, P)
     return gauss_aligned, poffs, dropped
 
 
@@ -926,7 +930,10 @@ def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, wet_zero,
     blend's reverse kernel to per-pair f32 logical gradients and transposes
     the gather with the segmented-sum scan (ops/segsum.gather_transpose)."""
     del wet_zero
-    pair16 = split_bf16(packed)[gauss_idx]
+    # barriers: fast gather path (no producer/consumer fusion — see
+    # cull_and_sort tail note)
+    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
+    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
     return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs,
                            skip_dma=True)
 
@@ -937,7 +944,8 @@ def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, wet_zero,
     # the backward reads d1/d2/last (need_dist); wet arrives through the
     # gradient lane, so honor the caller's wet strip
     needs = (True, needs[1])
-    pair16 = split_bf16(packed)[gauss_idx]
+    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
+    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
     out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs)
     return out, (pair16, gauss_idx, rays, tile_bounds, out[0], packed.shape)
 
@@ -970,6 +978,7 @@ def trace_rays(
     ray_mask: jnp.ndarray | None = None,
     needs: tuple = (True, True),
     wet_zero: jnp.ndarray | None = None,
+    compose_raw: bool = False,
 ) -> TraceOutput:
     """Tiled Pallas tracer over an (H, W) ray grid.
 
@@ -983,7 +992,12 @@ def trace_rays(
     wet_zero (P,) zeros: when given, per-splat wet arrives as
     d(loss)/d(wet_zero) through the blend backward and TraceOutput.wet is
     exact zeros (the forward wet pipeline is stripped — see
-    _gather_blend_trace)."""
+    _gather_blend_trace).
+
+    compose_raw: return the PREMULTIPLIED accumulators for cross-device
+    slab composition (parallel/splat_sharding.compose_trace_slabs):
+    rgb without the bg·T term, dpt NOT normalized by acc, and the d1/d2
+    distortion moments filled — the alpha-blend monoid's raw form."""
     interpret = backend == "tiled_interp"
     H, W = ray_o.shape[:2]
     P = scene.mean.shape[0]
@@ -1030,9 +1044,15 @@ def trace_rays(
     img = img[:, :H, :W]
 
     trans = img[r["trans"]]
-    rgb = img[:3].transpose(1, 2, 0) + trans[..., None] * bg_color[None, None, :]
     acc = img[r["acc"]]
-    dpt = jnp.where(acc > 1e-8, img[r["dpt"]] / jnp.maximum(acc, 1e-8), 0.0)
+    if compose_raw:
+        rgb = img[:3].transpose(1, 2, 0)
+        dpt = img[r["dpt"]]  # premultiplied (normalize after composition)
+    else:
+        rgb = (img[:3].transpose(1, 2, 0)
+               + trans[..., None] * bg_color[None, None, :])
+        dpt = jnp.where(acc > 1e-8, img[r["dpt"]] / jnp.maximum(acc, 1e-8),
+                        0.0)
     if fwd_needs[1]:
         wet = jax.ops.segment_sum(
             jax.lax.stop_gradient(wet_pairs), gauss_idx, num_segments=P + 1
@@ -1049,6 +1069,8 @@ def trace_rays(
         wet=wet,
         trans=trans,
         dropped_pairs=jax.lax.stop_gradient(dropped_pairs),
+        d1=img[r["d1"]] if compose_raw else None,
+        d2=img[r["d2"]] if compose_raw else None,
     )
 
 

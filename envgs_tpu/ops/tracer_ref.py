@@ -41,6 +41,11 @@ class TraceOutput(NamedTuple):
     #   the tiled tracer's total_pair_cap tile clamp (0 = no truncation;
     #   None on the exact reference path). Surfaced in train stats so a
     #   quality-vs-cap regression is visible, not silent.
+    # distortion moments Σw·m / Σw·m² — filled only by trace_rays
+    # compose_raw=True (splat-slab composition needs the cross-slab
+    # distortion term, parallel/splat_sharding.compose_trace_slabs)
+    d1: jnp.ndarray | None = None  # (...,)
+    d2: jnp.ndarray | None = None  # (...,)
 
 
 class TraceScene(NamedTuple):
