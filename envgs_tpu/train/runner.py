@@ -297,25 +297,29 @@ class Runner:
             pending = prepare(it + 1) if it + 1 < total else None
             self.timer.record("step", stats.get("loss"))
 
+            # adaptive pair-cap escalation — checked EVERY step, not just at
+            # log boundaries (a snug cap must not silently drop pairs for
+            # up to log_every-1 steps). The two counters are scalars and the
+            # loop already blocks on this step's outputs at the timer above;
+            # fetching them costs nothing extra. On overflow, double the
+            # offending cap and recompile — configs can start SNUG
+            # (sort/gather/transpose cost scales with the cap) and only pay
+            # for capacity actually needed.
+            grew = {}
+            if float(stats.get("pair_overflow", 0)) > 0:
+                grew["pair_cap"] = self.model_cfg.pair_cap * 2
+            if float(stats.get("trace_dropped", 0)) > 0:
+                grew["env_pair_cap"] = self.model_cfg.env_pair_cap * 2
+            if grew:
+                self.model_cfg = self.model_cfg._replace(**grew)
+                self._step_cache.clear()
+                self._render_fn = None
+                print("[capacity] growing " + ", ".join(
+                    f"{k} -> {v}" for k, v in grew.items())
+                    + " (recompile)", flush=True)
+
             if it % self.log_every == 0 or it == total - 1:
                 stats = {k: float(v) for k, v in stats.items()}
-                # adaptive pair-cap escalation: capacity-truncation counters
-                # are surfaced by the step (no silent drops); on overflow,
-                # double the offending cap and recompile — configs can start
-                # SNUG (sort/gather/transpose cost scales with the cap) and
-                # only pay for capacity actually needed
-                grew = {}
-                if stats.get("pair_overflow", 0) > 0:
-                    grew["pair_cap"] = self.model_cfg.pair_cap * 2
-                if stats.get("trace_dropped", 0) > 0:
-                    grew["env_pair_cap"] = self.model_cfg.env_pair_cap * 2
-                if grew:
-                    self.model_cfg = self.model_cfg._replace(**grew)
-                    self._step_cache.clear()
-                    self._render_fn = None
-                    print("[capacity] growing " + ", ".join(
-                        f"{k} -> {v}" for k, v in grew.items())
-                        + " (recompile)", flush=True)
                 for k, v in stats.items():
                     smoothed[k].update(v)
                 self.recorder.record("TRAIN", stats, it=it)

