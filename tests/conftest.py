@@ -58,56 +58,7 @@ if os.environ.get(_MARK) != "1" and not os.environ.get(
 
 # ---------------------------------------------------------------------------
 # Test tiers: `pytest -m "not slow"` is the < 5-minute fast tier (VERDICT
-# round-1 #6). Tests measured > ~15 s on this image's single CPU core are
-# marked slow by NAME here (one place, no per-file decorators); every
-# component keeps at least one fast test. Full-suite runtime: ~23 min.
-# ---------------------------------------------------------------------------
-_SLOW_TESTS = {
-    "test_band_parallel_matches_single_chip",
-    "test_band_parallel_camopt_and_base_tracing",
-    "test_training_recovers_motion",
-    "test_linear_motion_moves_projection",
-    "test_forward_and_motion_fit",
-    "test_train_convergence_and_depth",
-    "test_render_shapes_and_depth_sweep",
-    "test_render_and_train_convergence",
-    "test_point_planes_family_from_config",
-    "test_enerf_family_from_config",
-    "test_nerf_family_from_config",
-    "test_neus_family_from_config",
-    "test_tiled_tracer_grad_parity",
-    "test_train_step_improves_psnr",
-    "test_forward_shapes_and_composition",
-    "test_render_mode_matches_training_forward",
-    "test_grad_parity",  # raster_pallas + raster3d
-    "test_neus_learns_sphere_sdf",
-    "test_kplanes_dynamic_radiance_field",
-    "test_render_mode_unaligned_parity",
-    "test_colmap_roundtrip_to_training",
-    "test_camera_opt_recovers_pose",
-    "test_ray_mask_culls_but_matches_unmasked_pixels",
-    "test_empty_scene",
-    "test_autodiff_flows",
-    "test_base_tracing_close_to_raster",
-    "test_base_tracing_train_step_grads",
-    "test_nerf_overfits_tiny_batch",
-    "test_kplanes_embedder",
-    "test_rowcull_actually_culls",
-    "test_temporal_marginal_gates_opacity",
-    "test_render_rays_deterministic_eval",
-    "test_reflection_gate",
-    "test_lpips_weight_roundtrip",
-    "test_padded_pool_mask",
-    "test_recorder",
-    "test_two_splats_occlusion_order",
-    "test_runner_adaptive_pair_cap_growth",
-}
-
-
-def pytest_collection_modifyitems(config, items):
-    import pytest as _pytest
-
-    for item in items:
-        base = item.name.split("[")[0]
-        if base in _SLOW_TESTS:
-            item.add_marker(_pytest.mark.slow)
+# round-1 #6, round-2 weak #2). Tests measured > ~15 s on this image's
+# single CPU core carry @pytest.mark.slow IN THEIR OWN FILES (grep
+# 'mark.slow' to audit which coverage the fast tier skips); every component
+# keeps at least one fast test.

@@ -79,6 +79,65 @@ def golden_dirs():
     )
 
 
+def _import_pool(ply_path: str, extras: dict | None = None):
+    """ply -> padded pool; extras may carry raw specular/roughness logits
+    (the EnvGS reflectance fields the 3DGS ply format does not store — the
+    reference keeps them in the model checkpoint, not the ply)."""
+    import jax.numpy as jnp
+    from envgs_tpu.train.checkpoints import import_ply
+    from envgs_tpu.utils.ply import load_gaussian_ply
+
+    raw = load_gaussian_ply(ply_path)
+    P = raw["xyz"].shape[0]
+    cap = max(1024, 1 << (P - 1).bit_length())
+    sh_degree = int(round((raw["f_rest"].shape[1] + 1) ** 0.5)) - 1
+    pool = import_ply(ply_path, cap=cap, sh_degree=sh_degree)
+    if extras:
+        def pad(a):
+            a = np.asarray(a, np.float32)
+            return np.concatenate(
+                [a, np.zeros((cap - a.shape[0],) + a.shape[1:], np.float32)])
+        pool = pool._replace(params=pool.params._replace(
+            specular=jnp.asarray(pad(extras["specular"])),
+            roughness=jnp.asarray(pad(extras["roughness"])),
+        ))
+    return pool
+
+
+def render_golden_envgs(scene_dir: str, raster_backend: str = "pallas_interp",
+                        tracer_backend: str = "tiled_interp"):
+    """Dual-pool reflective render through the FULL forward_envgs pipeline
+    (base raster -> reflect -> env trace -> composite) for scene dirs with
+    point_cloud.ply + env_point_cloud.ply (+ extras.npz reflectance)."""
+    import jax
+    import jax.numpy as jnp
+    from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+    from envgs_tpu.utils.camera import make_camera
+
+    with open(os.path.join(scene_dir, "camera.json")) as fh:
+        spec = json.load(fh)
+    cam = make_camera(
+        spec["H"], spec["W"], np.asarray(spec["K"], np.float32),
+        np.asarray(spec["R"], np.float32), np.asarray(spec["T"], np.float32),
+        spec.get("znear", 0.02), spec.get("zfar", 100.0),
+    )
+    extras_path = os.path.join(scene_dir, "extras.npz")
+    extras = dict(np.load(extras_path)) if os.path.exists(extras_path) else {}
+    base = _import_pool(os.path.join(scene_dir, "point_cloud.ply"), extras)
+    env = _import_pool(os.path.join(scene_dir, "env_point_cloud.ply"))
+    cfg = EnvGSConfig(
+        raster_backend=raster_backend, tracer_backend=tracer_backend,
+        reflection_start_iter=0, render_mode=True,
+        pair_cap=int(spec.get("pair_cap", 2 ** 16)),
+        env_pair_cap=int(spec.get("env_pair_cap", 2 ** 16)),
+        bg_brightness=float(spec.get("bg", [0.0])[0]),
+    )
+    out = jax.jit(
+        lambda b, e: forward_envgs(b, e, cam, jnp.asarray(10 ** 6), cfg)
+    )(base, env)
+    return out.rgb_map
+
+
 def render_golden(scene_dir: str, backend: str = "pallas_interp"):
     """Render scene_dir's ply through the production pipeline -> (H,W,3)."""
     import jax.numpy as jnp
@@ -91,6 +150,12 @@ def render_golden(scene_dir: str, backend: str = "pallas_interp"):
 
     with open(os.path.join(scene_dir, "camera.json")) as fh:
         spec = json.load(fh)
+    if spec.get("model") == "envgs":
+        return render_golden_envgs(
+            scene_dir,
+            raster_backend=("ref" if backend == "ref" else "pallas_interp"),
+            tracer_backend=("ref" if backend == "ref" else "tiled_interp"),
+        )
     cam = make_camera(
         spec["H"], spec["W"], np.asarray(spec["K"], np.float32),
         np.asarray(spec["R"], np.float32), np.asarray(spec["T"], np.float32),

@@ -19,6 +19,7 @@ from envgs_tpu.serve.websocket_server import (
 from envgs_tpu.train.moderators import CenterCropSchedule, RatioSchedule, resize_view
 from envgs_tpu.train.recorder import Recorder, SmoothedValue
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 
 def test_so3_exp_properties():
@@ -73,6 +74,7 @@ def test_resize_view():
     np.testing.assert_allclose(out["camera"].K[0, 0], 25.0)
 
 
+@pytest.mark.slow
 def test_recorder(tmp_path):
     r = Recorder(str(tmp_path), enabled=True)
     for i in range(5):

@@ -7,6 +7,7 @@ from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
 from envgs_tpu.ops import tracer
 from envgs_tpu.ops.tracer_ref import prepare_trace_scene, trace_rays_reference
 from tests.test_runner_wiring import _cam, _pools
+import pytest
 
 _REF = EnvGSConfig(
     raster_backend="ref", tracer_backend="ref",
@@ -14,6 +15,7 @@ _REF = EnvGSConfig(
 )
 
 
+@pytest.mark.slow
 def test_base_tracing_close_to_raster():
     """Tracing camera rays against the base set must closely reproduce the
     rasterized base pass (same splats, same blend; only the projection
@@ -35,6 +37,7 @@ def test_base_tracing_close_to_raster():
     assert np.isfinite(np.asarray(trc.dpt_map)).all()
 
 
+@pytest.mark.slow
 def test_base_tracing_train_step_grads():
     """Gradients flow through the traced base pass incl. the means3d zero."""
     from envgs_tpu.train.optimizer import LRConfig
@@ -73,6 +76,7 @@ def _dome_scene(P=96, seed=0):
     return prepare_trace_scene(mean, quat, scales, opac, color)
 
 
+@pytest.mark.slow
 def test_ray_mask_culls_but_matches_unmasked_pixels():
     scene = _dome_scene()
     H = W = 32

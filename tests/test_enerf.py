@@ -12,6 +12,7 @@ from envgs_tpu.models.enerf import (
     render_enerf,
 )
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 Z_PLANE = 2.0
 
@@ -42,6 +43,7 @@ def _plane_views(n=4, H=48, W=48, f=60.0):
     return cams, np.stack(imgs)
 
 
+@pytest.mark.slow
 def test_render_shapes_and_depth_sweep():
     cfg = ENeRFConfig(n_planes=(32, 8), n_samples=4)
     cams, imgs = _plane_views()
@@ -58,6 +60,7 @@ def test_render_shapes_and_depth_sweep():
     assert d.min() >= 1.0 - 1e-4 and d.max() <= 4.0 + 1e-4
 
 
+@pytest.mark.slow
 def test_train_convergence_and_depth():
     cfg = ENeRFConfig(n_planes=(24, 6), n_samples=3)
     cams, imgs = _plane_views(n=4)

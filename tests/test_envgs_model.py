@@ -14,6 +14,7 @@ from envgs_tpu.train.trainer import (
     make_train_step,
 )
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 
 def _cam(H=48, W=48, f=60.0):
@@ -46,6 +47,7 @@ _CFG = EnvGSConfig(
 )
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_composition():
     cam = _cam()
     base, env = _pools()
@@ -66,6 +68,7 @@ def test_forward_shapes_and_composition():
     np.testing.assert_allclose(lhs, rhs, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_reflection_gate():
     """Before reflection_start_iter the env pass must not contribute."""
     cam = _cam()
@@ -89,6 +92,7 @@ def test_reflect_rays_geometry():
     assert acc.max() > 0.5
 
 
+@pytest.mark.slow
 def test_train_step_improves_psnr():
     """Supervise against a target render; PSNR must improve substantially
     (the reference's 'training PSNR reaches 24-25 dB quickly' smoke check,
@@ -128,6 +132,7 @@ def test_train_step_improves_psnr():
     assert float(state.base.n_active) == 64  # no topology change mid-training
 
 
+@pytest.mark.slow
 def test_render_mode_matches_training_forward():
     """cfg.render_mode=True strips training-only kernel work; the visible
     outputs (rgb/depth/normal/acc/spec) must match to fp-regrouping noise

@@ -35,12 +35,14 @@ def _run(tmp_path, config, overrides=()):
     return summary
 
 
+@pytest.mark.slow
 def test_nerf_family_from_config(tmp_path):
     s = _run(str(tmp_path), "configs/exps/nerf_synthetic.yaml",
              ["runner_cfg.ep_iter=60", "runner_cfg.n_rays=256"])
     assert s["psnr_mean"] > 5.0
 
 
+@pytest.mark.slow
 def test_neus_family_from_config(tmp_path):
     s = _run(str(tmp_path), "configs/exps/neus_synthetic.yaml",
              ["runner_cfg.ep_iter=40", "runner_cfg.n_rays=128",
@@ -48,6 +50,7 @@ def test_neus_family_from_config(tmp_path):
     assert s["psnr_mean"] > 5.0
 
 
+@pytest.mark.slow
 def test_enerf_family_from_config(tmp_path):
     s = _run(str(tmp_path), "configs/exps/enerf_synthetic.yaml",
              ["runner_cfg.ep_iter=30", "dataset_cfg.H=48",
@@ -55,6 +58,7 @@ def test_enerf_family_from_config(tmp_path):
     assert s["psnr_mean"] > 5.0
 
 
+@pytest.mark.slow
 def test_point_planes_family_from_config(tmp_path):
     s = _run(str(tmp_path), "configs/exps/point_planes_synthetic.yaml",
              ["runner_cfg.ep_iter=40"])

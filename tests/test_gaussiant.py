@@ -15,6 +15,7 @@ from envgs_tpu.models.gaussiant import (
     render_gaussiant,
 )
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 
 def _cams(n=4, H=48, W=48, f=60.0):
@@ -43,6 +44,7 @@ def _gt_scene(seed=0, P=120):
     return xyz, rgb
 
 
+@pytest.mark.slow
 def test_render_and_train_convergence():
     cfg = GaussianTConfig(raster_backend="pallas_interp", pair_cap=2 ** 12,
                           sh_degree=1)

@@ -75,6 +75,7 @@ def _make_colmap_capture(root, n_views=10, H=40, W=48):
                      f"{rgb[0]} {rgb[1]} {rgb[2]} 0.5\n")
 
 
+@pytest.mark.slow
 def test_colmap_roundtrip_to_training(tmp_path):
     cap = str(tmp_path / "capture")
     out = str(tmp_path / "scene")

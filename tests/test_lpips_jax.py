@@ -73,6 +73,7 @@ def test_lpips_jax_matches_torch_formula():
     assert same < 1e-9
 
 
+@pytest.mark.slow
 def test_lpips_weight_roundtrip(tmp_path):
     """save/load npz layout round-trips through load_weights."""
     from envgs_tpu.ops.lpips_jax import load_weights

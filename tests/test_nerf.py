@@ -19,6 +19,7 @@ from envgs_tpu.models.nerf import (
     volume_render,
 )
 from envgs_tpu.models.regressors import MLP, SplitRegressor, contract
+import pytest
 
 
 def test_positional_encoding_shapes_and_anneal():
@@ -110,6 +111,7 @@ def test_volume_render_opaque_wall():
     np.testing.assert_allclose(np.asarray(out["dpt_map"]), d, atol=0.1)
 
 
+@pytest.mark.slow
 def test_nerf_overfits_tiny_batch():
     """End-to-end: the hierarchical NeRF must overfit a toy scene's rays."""
     cfg = NerfConfig(xyz_freqs=4, dir_freqs=2, width=32, depth=3,
@@ -140,6 +142,7 @@ def test_nerf_overfits_tiny_batch():
     assert psnrs[-1] > 20.0, psnrs[-1]
 
 
+@pytest.mark.slow
 def test_render_rays_deterministic_eval():
     cfg = NerfConfig(xyz_freqs=2, dir_freqs=1, width=16, depth=2,
                      feat_dim=16, n_samples=(8, 8))
@@ -154,6 +157,7 @@ def test_render_rays_deterministic_eval():
                                np.asarray(b["rgb_map"]), atol=0)
 
 
+@pytest.mark.slow
 def test_kplanes_embedder():
     from envgs_tpu.models.embedders import KPlanesEmbedder
 
@@ -201,6 +205,7 @@ def test_deformation_embedder():
     assert float(jnp.abs(g[0][0]).sum()) > 0
 
 
+@pytest.mark.slow
 def test_kplanes_dynamic_radiance_field():
     """End-to-end dynamic capability (kplanes.yaml / dnerf.yaml regime): a
     K-Planes-embedded field fits a TIME-VARYING scene — a colored blob

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from envgs_tpu.models.neus import (
     NeusConfig,
     make_neus_train_step,
@@ -55,6 +57,7 @@ def _sphere_rays(n, key):
     return ray_o, ray_d, target
 
 
+@pytest.mark.slow
 def test_neus_learns_sphere_sdf():
     cfg = NeusConfig(n_samples=32, width=64, depth=3, feat_dim=32,
                      eikonal_weight=0.05)

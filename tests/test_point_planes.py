@@ -10,6 +10,7 @@ from envgs_tpu.models.point_planes import (
     point_planes_forward,
 )
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 
 def _cam(H=48, W=48, f=55.0):
@@ -43,6 +44,7 @@ def _gt_image(cam, t, cfg):
     ).rgb
 
 
+@pytest.mark.slow
 def test_forward_and_motion_fit():
     # oracle backend: exact + faster than interpreted kernels at 80 points.
     # radius_shift=0 starts radii mid-range (the -5 default needs long

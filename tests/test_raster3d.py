@@ -75,6 +75,7 @@ def test_forward_parity():
                                atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_grad_parity():
     cam = _cam(48, 48)
     scene = _random_scene(P=120, seed=3)

@@ -67,6 +67,7 @@ def test_forward_parity(C):
                                atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_grad_parity():
     cam = _cam(48, 48)
     scene = _random_scene(P=120, seed=3)
@@ -109,6 +110,7 @@ def test_grad_parity():
     assert float(np.abs(np.asarray(g_pal[5])).sum()) > 0
 
 
+@pytest.mark.slow
 def test_empty_scene():
     cam = _cam(32, 32)
     scene = _random_scene(P=16)
@@ -125,6 +127,7 @@ def test_empty_scene():
     np.testing.assert_allclose(np.asarray(out.trans), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_mode_unaligned_parity():
     """Pure-render calls (needs all-False) take the unaligned pair layout
     (no chunk-alignment stage; the blend kernel masks each tile's tail

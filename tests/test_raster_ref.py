@@ -5,6 +5,7 @@ import numpy as np
 from envgs_tpu.ops.common import prepare_splats
 from envgs_tpu.ops.raster_ref import rasterize_reference
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 
 def _cam(H=40, W=48, f=60.0):
@@ -56,6 +57,7 @@ def test_background_blend():
     assert abs(px[1] - 0.5) < 0.02  # T * green bg
 
 
+@pytest.mark.slow
 def test_two_splats_occlusion_order():
     cam = _cam()
     means = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, 4.0]])
@@ -79,6 +81,7 @@ def test_two_splats_occlusion_order():
     np.testing.assert_allclose(np.asarray(out2.rgb), np.asarray(out.rgb), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_padded_pool_mask():
     """Inactive pool slots must not contribute."""
     cam = _cam()
@@ -117,6 +120,7 @@ def test_tilted_splat_depth_gradient():
     assert np.all(dd > 0) or np.all(dd < 0)
 
 
+@pytest.mark.slow
 def test_autodiff_flows():
     cam = _cam(24, 24, f=40.0)
     means, quats, scales, opacity, colors = _single_splat(s=0.4)

@@ -101,6 +101,7 @@ def test_rowcull_conservative_gauss3d():
     assert total == 0
 
 
+@pytest.mark.slow
 def test_rowcull_actually_culls():
     """Sanity: for elongated splats the rowcull interval is strictly
     tighter than the AABB rect (pairs drop)."""

@@ -22,6 +22,7 @@ from envgs_tpu.models.stgs import (
     stgs_lr_config,
 )
 from envgs_tpu.utils.camera import make_camera
+import pytest
 
 CFG = STGSConfig(sh_degree=1, raster_backend="pallas_interp",
                  pair_cap=2 ** 11)
@@ -55,6 +56,7 @@ def _com(img):
     return float((w.sum(0) * xs).sum() / max(w.sum(), 1e-8))
 
 
+@pytest.mark.slow
 def test_linear_motion_moves_projection():
     pool = _blob_pool(v=(0.9, 0.0, 0.0))
     cam = _cam()
@@ -64,6 +66,7 @@ def test_linear_motion_moves_projection():
     assert c1 - c0 > 3.0, (c0, c1)
 
 
+@pytest.mark.slow
 def test_temporal_marginal_gates_opacity():
     pool = _blob_pool(v=(0.0, 0.0, 0.0), t0=0.5)
     cam = _cam()
@@ -100,6 +103,7 @@ def test_4d_ply_roundtrip(tmp_path):
         np.testing.assert_allclose(b, a, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_training_recovers_motion():
     """Supervise a moving blob at several times; the zero-init motion param
     must move toward the true velocity (cf. memory: never supervise motion

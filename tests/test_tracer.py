@@ -129,6 +129,7 @@ def test_tiled_tracer_adversarial_order():
     assert diff.mean() < 5e-3
 
 
+@pytest.mark.slow
 def test_tiled_tracer_grad_parity():
     scene_args = _shell_scene(P=48, seed=5)
     o, d = _ray_grid(16, 16, seed=6)
