@@ -80,3 +80,64 @@ def write_png(path, a):
 
 write_png("tests/golden/synthetic/golden.png", arr)
 print("golden written:", arr.shape, "mean", arr.mean())
+
+
+# ---------------------------------------------------------------------------
+# Dual-pool reflective golden: tests/golden/envgs_synthetic/ renders through
+# the FULL forward_envgs pipeline (base raster -> reflect -> env trace ->
+# composite), exercising both pair pipelines — the single-pool scene above
+# only covers the base rasterizer. Reflectance (specular/roughness) rides an
+# extras.npz because the 3DGS ply format does not carry it (the reference
+# stores it in the model checkpoint, gaussian2d_utils.py:921-933).
+# ---------------------------------------------------------------------------
+from envgs_tpu.data.synthetic import make_cameras, make_gt_pools
+
+os.makedirs("tests/golden/envgs_synthetic", exist_ok=True)
+
+base, env = make_gt_pools(seed=7)
+cam = make_cameras(1, 200, 200)[0]
+
+
+def export_with_extras(pool, ply_path, extras_path=None):
+    idx = np.where(np.asarray(pool.stats.active))[0]
+    p = pool.params
+    sh = int(pool.max_sh_degree)
+    n_rest = (sh + 1) ** 2 - 1
+    save_gaussian_ply(
+        ply_path,
+        np.asarray(p.xyz)[idx],
+        np.asarray(p.features_dc)[idx].reshape(len(idx), 1, 3),
+        np.asarray(p.features_rest)[idx].reshape(len(idx), n_rest, 3),
+        np.asarray(p.opacity)[idx],
+        np.asarray(p.scaling)[idx],
+        np.asarray(p.rotation)[idx],
+    )
+    if extras_path is not None:
+        np.savez(extras_path,
+                 specular=np.asarray(p.specular)[idx],
+                 roughness=np.asarray(p.roughness)[idx])
+
+
+export_with_extras(base, "tests/golden/envgs_synthetic/point_cloud.ply",
+                   "tests/golden/envgs_synthetic/extras.npz")
+export_with_extras(env, "tests/golden/envgs_synthetic/env_point_cloud.ply")
+
+camera = dict(H=200, W=200,
+              K=np.asarray(cam.K).tolist(), R=np.asarray(cam.R).tolist(),
+              T=np.asarray(cam.T).tolist(), znear=0.02, zfar=60.0,
+              bg=[0.0, 0.0, 0.0], model="envgs",
+              pair_cap=2 ** 16, env_pair_cap=2 ** 16,
+              psnr_threshold=35.0)
+with open("tests/golden/envgs_synthetic/camera.json", "w") as fh:
+    json.dump(camera, fh, indent=1)
+
+from tests.golden_harness import render_golden_envgs
+
+# golden generated with the EXACT pure-JAX reference backends; the test then
+# renders it back through the production kernels (interp mode) and asserts
+# PSNR — a dual-pool parity check of the full reflective pipeline
+img = render_golden_envgs("tests/golden/envgs_synthetic",
+                          raster_backend="ref", tracer_backend="ref")
+arr = (np.clip(np.asarray(img), 0, 1) * 255 + 0.5).astype(np.uint8)
+write_png("tests/golden/envgs_synthetic/golden.png", arr)
+print("envgs golden written:", arr.shape, "mean", arr.mean())
