@@ -307,10 +307,14 @@ def cull_and_sort(
         tmsk.reshape(-1, tile_block),
     )
     idmat, keepmat = jax.lax.map(block_cull, blocks)
-    idmat = idmat.reshape(Tp, K)[:T]
-    keepmat = keepmat.reshape(Tp, K)[:T]
+    # keep idmat/keepmat PADDED to Tp rows: a [:T] slice copies the whole
+    # (Tp, K) matrix (~2.4 ms at sedan scale); padded tiles have
+    # tmask=False so their counts are 0 and they never contribute slots.
+    # Only the tiny (T+1,) bounds vector is sliced at the end.
+    idmat = idmat.reshape(Tp, K)
+    keepmat = keepmat.reshape(Tp, K)
 
-    counts = jnp.sum(keepmat.astype(jnp.int32), axis=-1)  # (T,)
+    counts = jnp.sum(keepmat.astype(jnp.int32), axis=-1)[:T]  # (T,)
     padded = -(-counts // CHUNK) * CHUNK
     poffs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
