@@ -26,6 +26,7 @@ import argparse
 import asyncio
 import io
 import struct
+import time
 
 import numpy as np
 
@@ -91,9 +92,23 @@ class RenderServer:
             # render off the event loop: a synchronous jit (minutes on first
             # compile) would block the websocket keepalive pings and the
             # client would see the connection drop
+            t0 = time.perf_counter()
             out = await asyncio.get_event_loop().run_in_executor(
                 None, self.runner.render_view, cam)
-            await ws.send(encode_jpeg(np.asarray(out.rgb_map)))
+            rgb = np.asarray(out.rgb_map)  # device fetch blocks here
+            t1 = time.perf_counter()
+            jpeg = encode_jpeg(rgb)
+            t2 = time.perf_counter()
+            await ws.send(jpeg)
+            # per-stage frame timings (the imgui viewer's profiling panel,
+            # volumetric_video_viewer.py:267-375): a text frame after each
+            # JPEG so the HUD can show server-side costs, not just
+            # client-side fps
+            await ws.send(json.dumps({"stats": {
+                "render_ms": round((t1 - t0) * 1e3, 1),
+                "encode_ms": round((t2 - t1) * 1e3, 1),
+                "jpeg_kb": round(len(jpeg) / 1024, 1),
+            }}))
 
     async def serve(self, host: str = "0.0.0.0", port: int = 8765):
         import websockets

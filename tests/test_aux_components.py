@@ -128,6 +128,20 @@ def test_websocket_roundtrip_server():
                 f"ws://127.0.0.1:{port}",
                 np.diag([20.0, 20.0, 1.0]), np.eye(3), np.zeros(3),
             )
+            # raw protocol walk: hello (text) -> camera -> JPEG (binary)
+            # -> per-stage timings (text, the HUD profiling frame)
+            import json as _json
+
+            from envgs_tpu.serve.websocket_server import encode_camera
+            async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+                hello = _json.loads(await ws.recv())
+                assert hello["H"] == 16
+                await ws.send(encode_camera(
+                    np.diag([20.0, 20.0, 1.0]), np.eye(3), np.zeros(3)))
+                jpeg = await ws.recv()
+                assert isinstance(jpeg, (bytes, bytearray))
+                stats = _json.loads(await ws.recv())["stats"]
+                assert stats["render_ms"] >= 0 and stats["jpeg_kb"] > 0
             return out
 
     out = asyncio.run(run())
