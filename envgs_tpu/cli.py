@@ -67,13 +67,24 @@ def _load_views(cfg: Config):
     else:
         from envgs_tpu.data.dataset import MultiViewDataset
 
+        scfg = cfg.get("model_cfg", {}).get("sampler_cfg", {}) or {}
+        # val_dataset_cfg overlays dataset_cfg for the eval split — the
+        # reference's val_dataloader_cfg.dataset_cfg (explicit per-split
+        # view_sample lists in the ref_real/nerf_casting/envgs stacks)
+        vcfg = dict(dcfg, **(cfg.get("val_dataset_cfg", {}) or {}))
         ds = call_filtered(MultiViewDataset, dict(dcfg, split="train"))
-        vs = call_filtered(MultiViewDataset, dict(dcfg, split="val"))
+        vs = call_filtered(MultiViewDataset, dict(vcfg, split="val"))
         views = [ds[i] for i in range(len(ds))]
         eval_views = [vs[i] for i in range(len(vs))]
-        init_xyz, init_rgb = ds.load_sfm(dcfg.get("preload_gs"))
-        env_bounds = dcfg.get("env_bounds", [[-1, -1, -1], [1, 1, 1]])
-        spatial_scale = ds.spatial_scale
+        # preload_gs lives under sampler_cfg in the reference
+        # (gaussian2d_sampler.py:194-216); accept it in either place
+        init_xyz, init_rgb = ds.load_sfm(
+            scfg.get("preload_gs") or dcfg.get("preload_gs"))
+        env_bounds = (scfg.get("env_bounds") or dcfg.get("env_bounds")
+                      or [[-1, -1, -1], [1, 1, 1]])
+        # the reference pins the exact SfM-derived spatial_scale per scene
+        # in its dataset configs; honor it over the camera-sphere estimate
+        spatial_scale = float(scfg.get("spatial_scale", ds.spatial_scale))
     return views, eval_views, init_xyz, init_rgb, env_bounds, spatial_scale
 
 
@@ -83,7 +94,19 @@ def build_from_config(cfg: Config):
      spatial_scale) = _load_views(cfg)
 
     mcfg = cfg.get("model_cfg", {})
-    scfg = mcfg.get("sampler_cfg", {})
+    scfg = dict(mcfg.get("sampler_cfg", {}) or {})
+    # reference key aliases (configs/models/envgs.yaml:44 names the gate
+    # render_reflection_start_iter; white_bg is the shiny_blender dataset
+    # stack's background switch)
+    if "render_reflection_start_iter" in scfg:
+        scfg.setdefault("reflection_start_iter",
+                        scfg["render_reflection_start_iter"])
+    if scfg.get("white_bg"):
+        scfg.setdefault("bg_brightness", 1.0)
+        scfg.setdefault("env_bg_brightness", 1.0)
+    # scene configs pin the exact SfM-derived spatial_scale (reference
+    # datasets/*/<scene>.yaml); it feeds densify thresholds + xyz LR
+    spatial_scale = float(scfg.get("spatial_scale", spatial_scale))
     model_cfg = _named(EnvGSConfig, scfg)
     # CPU runs use the interpreter variants of the Pallas kernels
     import jax
@@ -119,6 +142,16 @@ def build_from_config(cfg: Config):
         reflection_start_iter=sched.reflection_start_iter,
         normal_prop_until_iter=sched.normal_prop_until_iter,
     )
+    # sampler_cfg.xyz_lr_scheduler (envgs.yaml:36-40): the expon xyz-LR
+    # schedule's init/final/delay/max-steps knobs
+    xsched = scfg.get("xyz_lr_scheduler", {}) or {}
+    if xsched:
+        lr_common.update(
+            xyz_lr_init=float(xsched.get("lr_init", lr_common["xyz"])),
+            xyz_lr_final=float(xsched.get("lr_final", 1.6e-6)),
+            xyz_lr_delay_mult=float(xsched.get("lr_delay_mult", 0.01)),
+            xyz_lr_max_steps=int(xsched.get("max_steps", 30000)),
+        )
     lr_base = _named(LRConfig, lr_common)
     lr_env = _named(LRConfig, dict(lr_common, use_opacity_pulse=False))
 
@@ -145,14 +178,25 @@ def build_from_config(cfg: Config):
         init_specular=float(scfg.get("init_specular", 1e-3)),
         init_roughness=float(scfg.get("init_roughness", 0.5)),
     )
-    from envgs_tpu.utils.grid import sample_points_subgrid
-
-    S = int(round((env_cap / 4) ** (1 / 3)))  # grid sized to half capacity
-    env_xyz = sample_points_subgrid(np.asarray(env_bounds, np.float32),
-                                    S=max(S, 2), N=2)
     rng = np.random.default_rng(1)
+    # env pool init: explicit SfM ply when the dataset ships one
+    # (sampler_cfg.env_preload_gs, e.g. <root>/envs/points3D.ply in every
+    # ref_real/nerf_casting scene config), else the reference's
+    # subgrid-random fallback (envgs_sampler.py:179-192)
+    env_ply = scfg.get("env_preload_gs")
+    if env_ply and os.path.exists(env_ply):
+        from envgs_tpu.utils.ply import load_sfm_ply
+
+        env_xyz, env_rgb = load_sfm_ply(env_ply)
+    else:
+        from envgs_tpu.utils.grid import sample_points_subgrid
+
+        S = int(round((env_cap / 4) ** (1 / 3)))  # grid at half capacity
+        env_xyz = sample_points_subgrid(np.asarray(env_bounds, np.float32),
+                                        S=max(S, 2), N=2)
+        env_rgb = rng.random(env_xyz.shape).astype(np.float32)
     env = G.create_pool(
-        env_xyz, rng.random(env_xyz.shape).astype(np.float32), cap=env_cap,
+        env_xyz, env_rgb, cap=env_cap,
         sh_degree=int(scfg.get("env_sh_deg", 3)),
         init_opacity=float(scfg.get("env_init_occ", 0.1)),
     )

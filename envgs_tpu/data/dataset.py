@@ -161,9 +161,16 @@ class MultiViewDataset:
         cams = read_cameras(data_root)
         names = list(cams.keys())
         if view_sample:
-            b, e, s = (view_sample + [None, None, None])[:3]
-            e = len(names) if e in (None, -1) else e
-            names = names[b or 0:e:s or 1]
+            # reference semantics (volumetric_video_dataset.py:784-785):
+            # a 3-element list is [begin, end, step]; any other length is
+            # an EXPLICIT index list (the ref_real/nerf_casting dataset
+            # configs ship the train/val partitions as such lists)
+            if len(view_sample) == 3:
+                b, e, s = view_sample
+                e = len(names) if e in (None, -1) else e
+                names = names[b or 0:e:s or 1]
+            else:
+                names = [names[i] for i in view_sample]
 
         # every-8th-view eval split (compute_metadata.py:58-65 convention)
         if eval_every and eval_every > 0 and len(names) > eval_every:

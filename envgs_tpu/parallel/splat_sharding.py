@@ -174,14 +174,20 @@ def compose_trace_slabs(parts: TraceOutput, bg_color: jnp.ndarray
     )
 
 
-def _slab_base_pass(axis: str, n_slabs: int, slab_pair_cap: int | None):
+def _slab_base_pass(axis: str, n_slabs: int, slab_pair_cap: int | None,
+                    sink: dict | None = None):
     """render_base with the rasterizer's pair pipeline sharded over `axis`.
 
     Must run INSIDE shard_map. Signature matches models.envgs.render_base so
     it drops into forward_envgs(base_pass=...). Slab assignment is computed
     from the replicated pool (identical across the axis); each device
     rasterizes only its depth-rank slab at pair_cap / D and the premultiplied
-    accumulators compose across the axis via the closed-form blend monoid."""
+    accumulators compose across the axis via the closed-form blend monoid.
+
+    `sink`, when given, receives sink['pair_overflow'] = the WORST slab's
+    overshoot of its LOCAL cap (pmax over `axis`) — the composed num_pairs
+    is the cross-slab SUM, which can mask one hot slab exceeding cap/D
+    while the others sit under budget."""
     from envgs_tpu.ops.raster import render_decode as _decode
 
     def base_pass(pool, cam, cfg, means2d_zero=None, wet_zero=None):
@@ -211,6 +217,9 @@ def _slab_base_pass(axis: str, n_slabs: int, slab_pair_cap: int | None):
                         needs=(train, train or cfg.depth_ratio > 0, train),
                         wet_zero=(wet_zero
                                   if cfg.raster_backend != "ref" else None))
+        if sink is not None and out.num_pairs is not None:
+            sink["pair_overflow"] = jax.lax.pmax(
+                jnp.maximum(out.num_pairs - cap, 0), axis)
         parts = jax.tree_util.tree_map(
             lambda x: jax.lax.all_gather(x, axis), out)
         bg = jnp.full((3,), cfg.bg_brightness, jnp.float32)
@@ -388,7 +397,9 @@ def make_splat_sharded_train_step(
     assert not model_cfg.use_base_tracing, (
         "slab-sharded base pass uses the rasterizer")
 
-    base_pass = _slab_base_pass(splat_axis, n_slabs, slab_pair_cap)
+    sink: dict = {}  # per-trace capacity counters from the slab passes
+    base_pass = _slab_base_pass(splat_axis, n_slabs, slab_pair_cap,
+                                sink=sink)
     env_pass = _slab_env_pass(splat_axis, n_slabs, slab_env_cap)
 
     def device_loss(msb, mse, bparams, bstats, eparams, estats, m2z, e3z,
@@ -413,6 +424,21 @@ def make_splat_sharded_train_step(
         axes = (band_axis, splat_axis) if band_axis else (splat_axis,)
         loss = jax.lax.pmean(loss, axes)
         stats = {k: jax.lax.pmean(v, axes) for k, v in stats.items()}
+        # capacity-truncation counters (ADVICE r3): surfaced so the
+        # runner's adaptive pair-cap escalation fires for the slab-sharded
+        # step exactly like the single-chip one (trainer.py:250-256).
+        # pair_overflow = worst slab's overshoot of its LOCAL cap (a
+        # cross-slab sum could mask one hot slab); trace_dropped = total
+        # dropped tracer slots across slabs (any drop must trip it). Both
+        # are pmax'd over bands: views differ per band, escalation keys
+        # off "any band overflowed".
+        def band_max_i(x):
+            return jax.lax.pmax(x, band_axis) if band_axis else x
+
+        if "pair_overflow" in sink:
+            stats["pair_overflow"] = band_max_i(sink.pop("pair_overflow"))
+        if out.env_dropped_pairs is not None:
+            stats["trace_dropped"] = band_max_i(out.env_dropped_pairs)
         # per-pool aux: already slab-composed (identical across splat_axis);
         # reduce over bands only
         def band_sum(x):

@@ -297,18 +297,26 @@ class Runner:
             pending = prepare(it + 1) if it + 1 < total else None
             self.timer.record("step", stats.get("loss"))
 
-            # adaptive pair-cap escalation — checked EVERY step, not just at
-            # log boundaries (a snug cap must not silently drop pairs for
-            # up to log_every-1 steps). The two counters are scalars and the
-            # loop already blocks on this step's outputs at the timer above;
-            # fetching them costs nothing extra. On overflow, double the
+            # adaptive pair-cap escalation — checked EVERY step, one step
+            # DELAYED (a snug cap must not silently drop pairs for up to
+            # log_every-1 steps, but fetching THIS step's scalars would
+            # host-sync every iteration and kill the one-step async
+            # run-ahead the prefetch above preserves; the previous step's
+            # outputs are already materialized by the time this step was
+            # dispatched, so float() on them is (nearly) free). One extra
+            # step runs at the snug cap after an overflow — the counters
+            # stay >0 so escalation still fires. On overflow, double the
             # offending cap and recompile — configs can start SNUG
-            # (sort/gather/transpose cost scales with the cap) and only pay
-            # for capacity actually needed.
+            # (sort/gather/transpose cost scales with the cap) and only
+            # pay for capacity actually needed.
+            check = prev_stats if it > self.start_iter else {}
+            if it == total - 1:
+                check = stats  # last step: nothing after; fetch directly
+            prev_stats = stats
             grew = {}
-            if float(stats.get("pair_overflow", 0)) > 0:
+            if float(check.get("pair_overflow", 0)) > 0:
                 grew["pair_cap"] = self.model_cfg.pair_cap * 2
-            if float(stats.get("trace_dropped", 0)) > 0:
+            if float(check.get("trace_dropped", 0)) > 0:
                 grew["env_pair_cap"] = self.model_cfg.env_pair_cap * 2
             if grew:
                 self.model_cfg = self.model_cfg._replace(**grew)

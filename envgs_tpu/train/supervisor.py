@@ -34,10 +34,12 @@ class LossConfig(NamedTuple):
     gs_norm_loss_weight: float = 0.04
     gs_norm_loss_start_iter: int = 0
     use_dpt_scale_gs_norm_loss: bool = True
+    use_acc_scale_gs_norm_loss: bool = False
     # monocular normal prior
     norm_loss_weight: float = 0.01
     norm_loss_start_iter: int = 0
     use_dpt_scale_norm_loss: bool = True
+    use_acc_scale_norm_loss: bool = False
     # distortion
     gs_dist_loss_weight: float = 0.0
     gs_dist_loss_start_iter: int = 3000
@@ -112,6 +114,10 @@ def compute_losses(
     # --- normal consistency: rendered vs depth-derived (envgs_supervisor:188-213)
     if cfg.gs_norm_loss_weight > 0:
         gl = 1.0 - jnp.sum(out.norm_map * out.surf_norm_map, axis=-1)
+        if cfg.use_acc_scale_gs_norm_loss:
+            # scale by rendered accumulation (envgs_supervisor.py:230-233
+            # use_acc_scale_gs_norm_loss; envgs_synth.yaml recipe)
+            gl = gl * jax.lax.stop_gradient(out.acc_map[..., 0])
         if cfg.use_dpt_scale_gs_norm_loss:
             scale = normalize_depth_map(
                 jax.lax.stop_gradient(out.dpt_map[..., 0])
@@ -128,6 +134,9 @@ def compute_losses(
         nm = normalize(nm)
         ng = normalize(gt_norm * 2.0 - 1.0)
         nl = jnp.sum(jnp.abs(nm - ng), axis=-1) + (1.0 - cos_sim(nm, ng))
+        if cfg.use_acc_scale_norm_loss:
+            # scale by rendered accumulation (envgs_supervisor.py:165-167)
+            nl = nl * jax.lax.stop_gradient(out.acc_map[..., 0])
         if cfg.use_dpt_scale_norm_loss:
             scale = normalize_depth_map(
                 jax.lax.stop_gradient(out.dpt_map[..., 0])
