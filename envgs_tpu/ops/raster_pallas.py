@@ -48,18 +48,21 @@ NPIX = TILE * TILE  # 256
 CHUNK = 64  # pairs per inner step (sublane dim; 128 measured neutral fwd, more pad waste)
 DPAD = 128  # packed per-pair feature width (lane dim; HBM DMA slices must
 #   be 128-lane aligned, and ANY-space arrays are physically 128-wide anyway)
-LO = 32  # lane offset of the low-order bf16 block (see split-precision note)
+LO = 32  # logical pair-row width cap (<= 32 feature columns)
 WET_COL = LO - 1  # backward grad-row lane carrying the per-pair blend
 #   weight ("wet"): the bwd kernel recomputes w anyway, so riding it through
 #   the existing pair-grad transpose delivers per-splat wet sums for free —
 #   the forward's per-pair wet writes + the 19 ms duplicate-index
 #   segment_sum they fed are both stripped from the training path.
 
-# pair_data LOGICAL column layout (the layout of gradients and of the f32
-# packed table; the DMA'd pair rows store each logical column twice as
-# bf16 hi @ col i and bf16 lo @ col LO+i — a two-term bf16 split giving
-# ~16-bit mantissas at HALF the HBM traffic of f32 rows. Row gathers and
-# the blend DMA are bytes-bound on v5e, so this is a straight 2x.)
+# pair_data LOGICAL column layout (shared by the packed table, the DMA'd
+# pair rows, and the gradient rows — all f32, one logical column per lane.
+# An earlier design stored pair rows as a 3-term bf16 split on the belief
+# that row gathers were bytes-bound; measurement says they are issue-RATE
+# bound (~12 ns/row, width and dtype free — scripts/tpu_micro_gather.py,
+# tpu_micro_dmagather.py), so f32 rows gather at the SAME cost while
+# stripping the split's ~8-VPU-slot per-column decode from the blend
+# kernels' hot loop. Chunk DMA stays hidden at 2x bytes.)
 _C_TMAT = 0  # 9 floats, row-major (x-row, y-row, w-row over (u,v,1))
 _C_CX = 9
 _C_CY = 10
@@ -68,23 +71,11 @@ _C_NRM = 12  # 3 floats
 _C_COLOR = 15  # C floats (C <= 7)
 
 
-def split_bf16(x: jnp.ndarray, width: int = DPAD) -> jnp.ndarray:
-    """(N, <=LO) f32 -> (N, width) bf16, three-term split: hi @ [0, k),
-    mid @ [LO, LO+k), lo @ [2*LO, 2*LO+k).
-
-    x == f32(hi) + f32(mid) + f32(lo) to ~2^-27 relative precision —
-    effectively f32-exact, at bf16 row width (the (N, 128) bf16 row is 256B
-    whether 22 or 66 lanes carry data, so the extra terms are free)."""
+def pack_rows(x: jnp.ndarray, width: int = DPAD) -> jnp.ndarray:
+    """(N, <=LO) f32 -> (N, width) f32 zero-padded physical pair rows."""
     k = x.shape[-1]
-    assert 3 * LO <= width and k <= LO
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    out = jnp.zeros((*x.shape[:-1], width), jnp.bfloat16)
-    out = out.at[..., :k].set(hi)
-    out = out.at[..., LO:LO + k].set(mid)
-    return out.at[..., 2 * LO:2 * LO + k].set(lo)
+    assert k <= width
+    return jnp.pad(x, ((0, 0), (0, width - k)))
 
 
 def _fout(C: int) -> int:
@@ -164,16 +155,14 @@ def _pixel_coords(t, tiles_x):
 
 
 def _col32(d, i):
-    """Recombine logical column i from the split-bf16 pair chunk -> f32."""
-    return (d[:, i:i + 1].astype(jnp.float32)
-            + d[:, LO + i:LO + i + 1].astype(jnp.float32)
-            + d[:, 2 * LO + i:2 * LO + i + 1].astype(jnp.float32))
+    """Logical column i of an f32 pair chunk -> (CHUNK, 1) f32."""
+    return d[:, i:i + 1]
 
 
 def _splat_pixel_terms(d, px, py, mode="surfel"):
     """Shared forward geometry: returns (a, amask, clampm, G, u, v, qz, z, b3).
 
-    d: (CHUNK, DPAD) split-bf16 packed pair chunk; px/py: (1, NPIX).
+    d: (CHUNK, DPAD) f32 packed pair chunk; px/py: (1, NPIX).
 
     mode="surfel": 2DGS ray-plane intersection through the tmat columns.
     mode="gauss3d": 3DGS EWA conic evaluation (the diff_gauss pipeline,
@@ -729,26 +718,27 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _to_split16(pair_data):
-    """Accept either an f32 logical pair table or a pre-split bf16 one."""
-    if pair_data.dtype == jnp.bfloat16:
+def _to_rows(pair_data):
+    """Accept either a logical-width f32 pair table or a pre-padded one."""
+    assert pair_data.dtype == jnp.float32, pair_data.dtype
+    if pair_data.shape[-1] == DPAD:
         return pair_data
-    return split_bf16(pair_data[:, :LO])
+    return pack_rows(pair_data[:, :LO])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
                 mode="surfel", needs=(True, True, True)):
     """pair_data (CAP, DPAD) f32 logical, tile_bounds (T+1,) ->
-    (tiles (T, FPAD, NPIX), wet (CAP,)). The kernels consume the split-bf16
-    form; gradients come back f32 in the logical layout.
+    (tiles (T, FPAD, NPIX), wet (CAP,)). The kernels consume f32 pair rows;
+    gradients come back f32 in the same logical layout.
 
     needs = (need_dist, need_med, need_wet): static switches that strip the
     distortion prefix sums / median-depth tracking / per-pair wet writes
     from the forward kernel for pure-render calls (~25% of the kernel's VPU
     work). Under autodiff the VJP forward forces all three on, so training
     is unaffected; with wet off the wet output is exact zeros."""
-    return _blend_fwd_call(_to_split16(pair_data), tile_bounds, C, tiles_x,
+    return _blend_fwd_call(_to_rows(pair_data), tile_bounds, C, tiles_x,
                            interpret, mode, needs)
 
 
@@ -773,7 +763,7 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NPIX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -807,16 +797,16 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
 def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret,
                mode="surfel", needs=(True, True, True)):
     del needs  # training path computes everything (bwd reads d1/d2/last/wet)
-    pair16 = _to_split16(pair_data)
-    out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode)
-    return out, (pair16, tile_bounds, out[0])
+    pairs = _to_rows(pair_data)
+    out = _blend_fwd_call(pairs, tile_bounds, C, tiles_x, interpret, mode)
+    return out, (pairs, tile_bounds, out[0])
 
 
 def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents,
                emit_wet=False):
     del needs  # forward-for-vjp ran with everything on
     pair_data, tile_bounds, tiles_out = residuals
-    pair_data = _to_split16(pair_data)
+    pair_data = _to_rows(pair_data)
     g_tiles, _g_wet = cotangents  # wet is treated as non-differentiable
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
@@ -837,7 +827,7 @@ def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents,
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, NPIX), jnp.float32),
             pltpu.VMEM((4, NPIX), jnp.float32),
@@ -890,18 +880,18 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
     kernel's per-pair wet writes and the duplicate-index segment_sum they
     fed (~22 ms/step at sedan scale). The primal ignores it.
 
-    Fusing the per-pair row gather with the blend lets the gather move
-    split-bf16 rows (256B — row gathers are bytes-bound on v5e) while
-    gradients stay f32: the backward runs the blend's reverse kernel to
-    per-pair f32 logical gradients and transposes the gather with the
-    segmented-sum scan (ops/segsum.gather_transpose)."""
+    Fusing the per-pair row gather with the blend keeps the gather on
+    XLA's fast row-gather path (issue-rate bound, so the f32 rows are
+    free); the backward runs the blend's reverse kernel to per-pair f32
+    logical gradients and transposes the gather with the segmented-sum
+    scan (ops/segsum.gather_transpose)."""
     del wet_zero
     # barriers: keep the pair-row gather on the fast gather path (fusing
-    # the split-bf16 producer or downstream consumers into the gather
+    # the row-pad producer or downstream consumers into the gather
     # lowers it to a pathological loop — scripts/tpu_micro_culltail.py)
-    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
-    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
-    return _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
+    packedp = jax.lax.optimization_barrier(pack_rows(packed))
+    pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
+    return _blend_fwd_call(pairs, tile_bounds, C, tiles_x, interpret, mode,
                            needs, aligned, skip_dma=True)
 
 
@@ -914,21 +904,21 @@ def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,
     # through the gradient lane, so honor the caller's med/wet strips
     needs = (True, needs[1], needs[2])
     assert aligned, "autodiff requires the chunk-aligned (training) layout"
-    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
-    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
-    out = _blend_fwd_call(pair16, tile_bounds, C, tiles_x, interpret, mode,
+    packedp = jax.lax.optimization_barrier(pack_rows(packed))
+    pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
+    out = _blend_fwd_call(pairs, tile_bounds, C, tiles_x, interpret, mode,
                           needs)
-    return out, (pair16, tile_bounds, pre_idx, seg_starts, seg_counts,
+    return out, (pairs, tile_bounds, pre_idx, seg_starts, seg_counts,
                  out[0], packed.shape)
 
 
 def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, pre_cap, residuals,
              cotangents):
     del aligned  # asserted True in _gbt_fwd
-    (pair16, tile_bounds, pre_idx, seg_starts, seg_counts, tiles_out,
+    (pairs, tile_bounds, pre_idx, seg_starts, seg_counts, tiles_out,
      pshape) = residuals
     g_pair = _blend_bwd(C, tiles_x, interpret, mode, needs,
-                        (pair16, tile_bounds, tiles_out), cotangents,
+                        (pairs, tile_bounds, tiles_out), cotangents,
                         emit_wet=True)[0]
     from envgs_tpu.ops.segsum import presort_transpose
 

@@ -38,7 +38,7 @@ from envgs_tpu.ops.raster_pallas import (
     _cumprod_ex_sublane,
     _cumsum_sublane,
     _prod_sublane,
-    split_bf16,
+    pack_rows,
 )
 from envgs_tpu.ops.segsum import gather_rows, gather_transpose
 from envgs_tpu.ops.tracer_ref import (
@@ -373,7 +373,7 @@ def _pack_scene_table(scene: TraceScene) -> jnp.ndarray:
 
 
 def _pack_scene(scene: TraceScene, gauss_idx: jnp.ndarray) -> jnp.ndarray:
-    """Test/profiling helper — production fuses the gather (split-bf16)."""
+    """Test/profiling helper — production fuses the gather (f32 rows)."""
     P = scene.mean.shape[0]
     packed = _pack_scene_table(scene)
     interp = bool(jax.default_backend() == "cpu")
@@ -784,14 +784,14 @@ def _bwd_kernel(A, bounds_ref, pair_ref, rays_ref, res_ref, g_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-# shared with the rasterizer (same split-bf16 pair-row layout)
-from envgs_tpu.ops.raster_pallas import _to_split16  # noqa: E402
+# shared with the rasterizer (same f32 pair-row layout)
+from envgs_tpu.ops.raster_pallas import _to_rows  # noqa: E402
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _blend_trace(pair_data, rays, tile_bounds, A, interpret,
                  needs=(True, True)):
-    return _trace_fwd_call(_to_split16(pair_data), rays, tile_bounds, A,
+    return _trace_fwd_call(_to_rows(pair_data), rays, tile_bounds, A,
                            interpret, needs)
 
 
@@ -818,7 +818,7 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -852,15 +852,15 @@ def _trace_fwd_call(pair_data, rays, tile_bounds, A, interpret,
 def _trace_fwd(pair_data, rays, tile_bounds, A, interpret,
                needs=(True, True)):
     del needs  # training path computes everything (bwd reads d1/d2/last/wet)
-    pair16 = _to_split16(pair_data)
-    out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret)
-    return out, (pair16, rays, tile_bounds, out[0])
+    pairs = _to_rows(pair_data)
+    out = _trace_fwd_call(pairs, rays, tile_bounds, A, interpret)
+    return out, (pairs, rays, tile_bounds, out[0])
 
 
 def _trace_bwd(A, interpret, needs, residuals, cotangents, emit_wet=False):
     del needs
     pair_data, rays, tile_bounds, tiles_out = residuals
-    pair_data = _to_split16(pair_data)
+    pair_data = _to_rows(pair_data)
     g_tiles, _g_wet = cotangents
     cap = pair_data.shape[0]
     T = tile_bounds.shape[0] - 1
@@ -883,7 +883,7 @@ def _trace_bwd(A, interpret, needs, residuals, cotangents, emit_wet=False):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, DPAD), jnp.bfloat16),
+            pltpu.VMEM((2, CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((CHUNK, DPAD), jnp.float32),
             pltpu.VMEM((1, NRAY), jnp.float32),
             pltpu.VMEM((4, NRAY), jnp.float32),
@@ -929,16 +929,17 @@ def _gather_blend_trace(packed, gauss_idx, rays, tile_bounds, wet_zero,
     means2d_zero trick — strips the forward's per-pair wet writes and the
     duplicate-index segment reduction from the training path).
 
-    Fuses the per-pair row gather with the blend: the gather moves split-bf16
-    rows (256B, bytes-bound) while gradients stay f32 — the backward runs the
-    blend's reverse kernel to per-pair f32 logical gradients and transposes
-    the gather with the segmented-sum scan (ops/segsum.gather_transpose)."""
+    Fuses the per-pair row gather with the blend: the gather stays on
+    XLA's fast row-gather path (issue-rate bound; f32 rows are free) while
+    the backward runs the blend's reverse kernel to per-pair f32 logical
+    gradients and transposes the gather with the segmented-sum scan
+    (ops/segsum.gather_transpose)."""
     del wet_zero
     # barriers: fast gather path (no producer/consumer fusion — see
     # cull_and_sort tail note)
-    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
-    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
-    return _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs,
+    packedp = jax.lax.optimization_barrier(pack_rows(packed))
+    pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
+    return _trace_fwd_call(pairs, rays, tile_bounds, A, interpret, needs,
                            skip_dma=True)
 
 
@@ -948,16 +949,16 @@ def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, wet_zero,
     # the backward reads d1/d2/last (need_dist); wet arrives through the
     # gradient lane, so honor the caller's wet strip
     needs = (True, needs[1])
-    packed16 = jax.lax.optimization_barrier(split_bf16(packed))
-    pair16 = jax.lax.optimization_barrier(packed16[gauss_idx])
-    out = _trace_fwd_call(pair16, rays, tile_bounds, A, interpret, needs)
-    return out, (pair16, gauss_idx, rays, tile_bounds, out[0], packed.shape)
+    packedp = jax.lax.optimization_barrier(pack_rows(packed))
+    pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
+    out = _trace_fwd_call(pairs, rays, tile_bounds, A, interpret, needs)
+    return out, (pairs, gauss_idx, rays, tile_bounds, out[0], packed.shape)
 
 
 def _gbt_bwd(A, interpret, needs, residuals, cotangents):
-    pair16, gauss_idx, rays, tile_bounds, tiles_out, pshape = residuals
+    pairs, gauss_idx, rays, tile_bounds, tiles_out, pshape = residuals
     g_pair, g_rays, _ = _trace_bwd(
-        A, interpret, needs, (pair16, rays, tile_bounds, tiles_out),
+        A, interpret, needs, (pairs, rays, tile_bounds, tiles_out),
         cotangents, emit_wet=True
     )
     g_packed = gather_transpose(g_pair, gauss_idx, pshape[0], pshape[0],
@@ -1075,6 +1076,7 @@ def trace_rays(
         dropped_pairs=jax.lax.stop_gradient(dropped_pairs),
         d1=img[r["d1"]] if compose_raw else None,
         d2=img[r["d2"]] if compose_raw else None,
+        num_pairs=jax.lax.stop_gradient(bounds[-1]),
     )
 
 

@@ -46,6 +46,9 @@ class TraceOutput(NamedTuple):
     # distortion term, parallel/splat_sharding.compose_trace_slabs)
     d1: jnp.ndarray | None = None  # (...,)
     d2: jnp.ndarray | None = None  # (...,)
+    num_pairs: jnp.ndarray | None = None  # () CHUNK-aligned candidate slots
+    #   actually used by the tiled tracer (bounds[-1]; None on the exact
+    #   reference path) — observability for snugging total_pair_cap
 
 
 class TraceScene(NamedTuple):

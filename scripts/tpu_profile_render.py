@@ -92,7 +92,7 @@ timeit(env_fn, env, ro, rd, name="env pass only (precomputed rays)")
 # tracer stage split at this scale
 from envgs_tpu.ops import tracer as tr
 from envgs_tpu.ops.tracer_ref import prepare_trace_scene
-from envgs_tpu.ops.raster_pallas import split_bf16
+from envgs_tpu.ops.raster_pallas import pack_rows
 
 scene = jax.jit(lambda e: prepare_trace_scene(
     e.params.xyz, e.params.rotation, e.get_scaling, e.get_opacity[:, 0],
@@ -110,7 +110,7 @@ gauss_idx, bounds, _ = timeit(
     cull_fn, tiles.rays, tiles.apex, tiles.axis, tiles.tan_half,
     tiles.spread, scene, radius3, name="  cull_and_sort")
 print("    env pairs:", int(bounds[-1]), "/", gauss_idx.shape[0])
-table_fn = jax.jit(lambda s: split_bf16(tr._pack_scene_table(s)))
+table_fn = jax.jit(lambda s: pack_rows(tr._pack_scene_table(s)))
 packed16 = timeit(table_fn, scene, name="  pack env table")
 gather_fn = jax.jit(lambda t, i: t[i])
 pd16 = timeit(gather_fn, packed16, gauss_idx, name="  env pair gather")
@@ -135,7 +135,7 @@ bin_fn = jax.jit(lambda p: bin_splats(
     p, H, W, rp.TILE, 2 ** 21, align=rp.CHUNK, aligned=False))
 bins = timeit(bin_fn, prep, name="  base bin+sort (unaligned)")
 print("    base pairs:", int(bins.num_pairs))
-table_fn2 = jax.jit(lambda p: rp.split_bf16(_pack_table(p, None)))
+table_fn2 = jax.jit(lambda p: rp.pack_rows(_pack_table(p, None)))
 packed2 = timeit(table_fn2, prep, name="  base pack table")
 gather2 = timeit(gather_fn, packed2, bins.gauss_idx, name="  base pair gather")
 blend_fn = jax.jit(lambda pd, b: rp._blend_fwd_call(

@@ -58,7 +58,7 @@ print("  num_pairs:", int(bins.num_pairs))
 
 from envgs_tpu.ops.raster import _pack_table
 
-table_fn = jax.jit(lambda p: rp.split_bf16(_pack_table(p, None)))
+table_fn = jax.jit(lambda p: rp.pack_rows(_pack_table(p, None)))
 packed16 = timeit(table_fn, prep, name="pack table + bf16 split (P rows)")
 
 gather_fn = jax.jit(lambda t, i: t[i])

@@ -74,9 +74,9 @@ gauss_idx, bounds, _dropped = timeit(
     tiles.spread, scene, radius3, name=f"cull_and_sort K={KTILE}")
 print("  total pairs:", int(bounds[-1]), "/ cap", gauss_idx.shape[0])
 
-from envgs_tpu.ops.raster_pallas import split_bf16
+from envgs_tpu.ops.raster_pallas import pack_rows
 
-table_fn = jax.jit(lambda s: split_bf16(tr._pack_scene_table(s)))
+table_fn = jax.jit(lambda s: pack_rows(tr._pack_scene_table(s)))
 packed16 = timeit(table_fn, scene, name="pack table + bf16 split (P rows)")
 
 gather_fn = jax.jit(lambda t, i: t[i])

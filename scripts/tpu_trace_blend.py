@@ -39,8 +39,8 @@ prep = jax.jit(lambda: prepare_splats(
 bins = jax.jit(lambda p: bin_splats(
     p, H, W, rp.TILE, CAP, align=rp.CHUNK, aligned=False))(prep)
 TX, TY = tile_dims(H, W, rp.TILE)
-packed16 = jax.jit(lambda p: rp.split_bf16(_pack_table(p, None)))(prep)
-pd16 = jax.jit(lambda t, i: t[i])(packed16, bins.gauss_idx)
+packedp = jax.jit(lambda p: rp.pack_rows(_pack_table(p, None)))(prep)
+pd16 = jax.jit(lambda t, i: t[i])(packedp, bins.gauss_idx)
 
 # tracer pair data (env dome, camera-like rays for determinism)
 PE = 32_768
@@ -69,7 +69,7 @@ gauss_idx, bounds, _ = jax.jit(
 )(tiles.rays, tiles.apex, tiles.axis, tiles.tan_half, tiles.spread,
   scene, 3.0 * jnp.maximum(su, sv))
 print("env pairs:", int(bounds[-1]), "/ cap", gauss_idx.shape[0], flush=True)
-tpack = jax.jit(lambda s: rp.split_bf16(tr._pack_scene_table(s)))(scene)
+tpack = jax.jit(lambda s: rp.pack_rows(tr._pack_scene_table(s)))(scene)
 tpd16 = jax.jit(lambda t, i: t[i])(tpack, gauss_idx)
 
 
