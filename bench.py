@@ -86,8 +86,14 @@ def main_train():
     }
 
 
-def main():
-    from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+def make_render_scene():
+    """The headline render workload: (base, env, cam, cfg) at 1584x1040.
+
+    Exposed for the perf-measurement scripts (scripts/tpu_profile_*.py,
+    scripts/tpu_trace_render.py) so every measurement runs the exact bench
+    scene.
+    """
+    from envgs_tpu.models.envgs import EnvGSConfig
     from envgs_tpu.models.gaussians import create_pool, logit
     from envgs_tpu.utils.camera import make_camera
 
@@ -139,9 +145,16 @@ def main():
     # non-truncating below)
     cfg = EnvGSConfig(
         raster_backend="pallas", tracer_backend="tiled",
-        pair_cap=1_310_720, env_pair_cap=1_310_720, reflection_start_iter=0,
+        pair_cap=1_179_648, env_pair_cap=1_179_648, reflection_start_iter=0,
         render_mode=True,  # strip training-only kernel work (rgb identical)
     )
+    return base, env, cam, cfg
+
+
+def main():
+    from envgs_tpu.models.envgs import forward_envgs
+
+    base, env, cam, cfg = make_render_scene()
 
     fwd = jax.jit(lambda b, e, it: forward_envgs(b, e, cam, it, cfg).rgb_map)
     it = jnp.asarray(10)

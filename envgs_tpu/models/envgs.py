@@ -65,6 +65,11 @@ class EnvGSConfig(NamedTuple):
     # zeros; rgb/depth/normal/acc are bit-identical. Autodiff ignores the
     # flag (the VJP forward always computes everything).
     render_mode: bool = False
+    # Eval-time EXACT per-ray blend order in the tiled tracer (re-blends
+    # each tile's candidate window with the oracle's per-ray depth sort,
+    # ops/tracer.py::_trace_tiles_exact) — bounds the production radial-
+    # order approximation on trained scenes. Slow; eval/parity runs only.
+    tracer_exact_order: bool = False
 
 
 def _bisect_quantile01(x: jnp.ndarray, q: float, iters: int = 10) -> jnp.ndarray:
@@ -188,7 +193,8 @@ def render_base_traced(
         t = tracer.trace_rays(scene, ray_o, d, bg,
                               backend=cfg.tracer_backend,
                               total_pair_cap=cfg.pair_cap,
-                              needs=(train, train), wet_zero=wet_zero)
+                              needs=(train, train), wet_zero=wet_zero,
+                              exact_order=cfg.tracer_exact_order)
     # in-frustum projection visibility (optix_utils.py:203-213)
     prep = prepare_splats(
         xyz, pool.params.rotation, pool.get_scaling, pool.get_opacity[:, 0],
@@ -274,7 +280,8 @@ def render_env(
                              backend=cfg.tracer_backend,
                              total_pair_cap=cfg.env_pair_cap,
                              ray_mask=ray_mask, needs=(train, train, train),
-                             wet_zero=wet_zero)
+                             wet_zero=wet_zero,
+                             exact_order=cfg.tracer_exact_order)
 
 
 def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray) -> jnp.ndarray:
@@ -313,6 +320,7 @@ class EnvGSOutput(NamedTuple):
     # capacity truncation counters (0 = nothing silently dropped)
     base_num_pairs: jnp.ndarray | None = None  # () raster pre-clamp pairs
     env_dropped_pairs: jnp.ndarray | None = None  # () tracer dropped slots
+    env_num_pairs: jnp.ndarray | None = None  # () tracer CHUNK-aligned fill
 
 
 def forward_envgs(
@@ -389,8 +397,10 @@ def forward_envgs(
                ray_mask=ref_msk, wet_zero=env_wet_zero)
         dp = (e.dropped_pairs if e.dropped_pairs is not None
               else jnp.asarray(0, jnp.int32))
+        npair = (e.num_pairs if e.num_pairs is not None
+                 else jnp.asarray(0, jnp.int32))
         return (e.rgb, e.dpt[..., None], e.acc[..., None], e.wet, e.trans,
-                dp)
+                dp, npair)
 
     def without_env(_):
         Pe = env.cap
@@ -401,15 +411,18 @@ def forward_envgs(
             jnp.zeros((Pe,)),
             jnp.ones((H, W)),
             jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
         )
 
     use_env = cfg.render_reflection and True
     if use_env:
-        env_rgb, env_dpt, env_acc, env_wet, _, env_dropped = jax.lax.cond(
+        (env_rgb, env_dpt, env_acc, env_wet, _, env_dropped,
+         env_num_pairs) = jax.lax.cond(
             it >= cfg.reflection_start_iter, with_env, without_env, None
         )
     else:
-        env_rgb, env_dpt, env_acc, env_wet, _, env_dropped = without_env(None)
+        (env_rgb, env_dpt, env_acc, env_wet, _, env_dropped,
+         env_num_pairs) = without_env(None)
 
     active = (it >= cfg.reflection_start_iter) & jnp.asarray(use_env)
     spec_eff = jnp.where(active, spec, jnp.zeros_like(spec))
@@ -444,4 +457,5 @@ def forward_envgs(
         env_opacity=env.get_opacity,
         base_num_pairs=b.num_pairs,
         env_dropped_pairs=env_dropped,
+        env_num_pairs=env_num_pairs,
     )

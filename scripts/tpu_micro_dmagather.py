@@ -80,17 +80,24 @@ def _gather_kernel_rows(idx_ref, tab_ref, out_ref, sems):
 
 
 def dma_gather_rows(table, idx, block_rows=1):
+    # indices stream through SMEM one BLOCK at a time (the full 2M-row
+    # index array is 8 MB — far beyond the 1 MB SMEM budget that a
+    # scalar-prefetch operand must fit in)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(CAP // BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[
+            pl.BlockSpec((BLOCK,), lambda g: (g,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
     )
 
     def kernel(idx_ref, tab_ref, out_ref, sems):
         g = pl.program_id(0)
-        _gather_kernel_rows(idx_ref.at[pl.ds(g * BLOCK, BLOCK)],
+        _gather_kernel_rows(idx_ref,
                             tab_ref, out_ref.at[pl.ds(g * BLOCK, BLOCK), :],
                             sems)
 
@@ -112,6 +119,16 @@ def _gather_kernel_win8(idx_ref, tab_ref, out_ref, win, sems):
             sems.at[jax.lax.rem(j, NSEM)],
         )
 
+    def pick(jw):
+        # dynamic-sublane reads of bf16 VMEM don't lower; select the row
+        # with an iota mask + sublane reduce instead
+        r = idx_ref[jw] - (idx_ref[jw] // 8) * 8
+        w = win[jax.lax.rem(jw, NSEM)].astype(jnp.float32)  # (8, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        sel = jnp.where(rows == r, w, 0.0)
+        out_ref[pl.ds(jw, 1), :] = jnp.sum(
+            sel, axis=0, keepdims=True).astype(out_ref.dtype)
+
     def body(j, _):
         start(j).start()
 
@@ -119,9 +136,7 @@ def _gather_kernel_win8(idx_ref, tab_ref, out_ref, win, sems):
         def _():
             jw = j - (NSEM - 1)
             start(jw).wait()
-            r = idx_ref[jw] - (idx_ref[jw] // 8) * 8
-            out_ref[pl.ds(jw, 1), :] = win[jax.lax.rem(jw, NSEM),
-                                           pl.ds(r, 1), :]
+            pick(jw)
 
         return 0
 
@@ -129,8 +144,7 @@ def _gather_kernel_win8(idx_ref, tab_ref, out_ref, win, sems):
 
     def drain(j, _):
         start(j).wait()
-        r = idx_ref[j] - (idx_ref[j] // 8) * 8
-        out_ref[pl.ds(j, 1), :] = win[jax.lax.rem(j, NSEM), pl.ds(r, 1), :]
+        pick(j)
         return 0
 
     jax.lax.fori_loop(BLOCK - NSEM + 1, BLOCK, drain, 0)
@@ -138,11 +152,15 @@ def _gather_kernel_win8(idx_ref, tab_ref, out_ref, win, sems):
 
 def dma_gather_win8(table, idx):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(CAP // BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((BLOCK,), lambda g: (g,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         out_specs=pl.BlockSpec(
-            (BLOCK, 128), lambda g, b: (g, 0), memory_space=pltpu.VMEM),
+            (BLOCK, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((NSEM, 8, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((NSEM,)),
@@ -150,9 +168,7 @@ def dma_gather_win8(table, idx):
     )
 
     def kernel(idx_ref, tab_ref, out_ref, win, sems):
-        g = pl.program_id(0)
-        _gather_kernel_win8(idx_ref.at[pl.ds(g * BLOCK, BLOCK)],
-                            tab_ref, out_ref, win, sems)
+        _gather_kernel_win8(idx_ref, tab_ref, out_ref, win, sems)
 
     return pl.pallas_call(
         kernel,

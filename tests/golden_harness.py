@@ -105,7 +105,8 @@ def _import_pool(ply_path: str, extras: dict | None = None):
 
 
 def render_golden_envgs(scene_dir: str, raster_backend: str = "pallas_interp",
-                        tracer_backend: str = "tiled_interp"):
+                        tracer_backend: str = "tiled_interp",
+                        **cfg_overrides):
     """Dual-pool reflective render through the FULL forward_envgs pipeline
     (base raster -> reflect -> env trace -> composite) for scene dirs with
     point_cloud.ply + env_point_cloud.ply (+ extras.npz reflectance)."""
@@ -131,7 +132,7 @@ def render_golden_envgs(scene_dir: str, raster_backend: str = "pallas_interp",
         pair_cap=int(spec.get("pair_cap", 2 ** 16)),
         env_pair_cap=int(spec.get("env_pair_cap", 2 ** 16)),
         bg_brightness=float(spec.get("bg", [0.0])[0]),
-    )
+    )._replace(**cfg_overrides)
     out = jax.jit(
         lambda b, e: forward_envgs(b, e, cam, jnp.asarray(10 ** 6), cfg)
     )(base, env)

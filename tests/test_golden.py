@@ -25,3 +25,25 @@ def test_golden_render(scene_dir):
 
 def test_golden_assets_exist():
     assert golden_dirs(), "no committed golden scenes found"
+
+
+@pytest.mark.slow
+def test_trained_scene_radial_vs_exact_order():
+    """Measured error budget of the production tracer's per-tile radial
+    blend order on a TRAINED reflective scene (VERDICT r3 item 4): render
+    the committed dual-pool golden with the radial tiled tracer and with
+    exact_order=True (per-ray depth sort over the same candidate windows)
+    and bound the full-image deviation."""
+    dirs = [d for d in golden_dirs() if os.path.basename(d)
+            == "envgs_synthetic"]
+    assert dirs, "dual-pool golden scene missing"
+    from tests.golden_harness import render_golden_envgs
+
+    radial = np.clip(np.asarray(render_golden_envgs(dirs[0])), 0, 1)
+    exact = np.clip(np.asarray(render_golden_envgs(
+        dirs[0], tracer_exact_order=True)), 0, 1)
+    mse = float(np.mean((radial - exact) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    print(f"radial-vs-exact trained-scene PSNR: {psnr:.2f} dB "
+          f"(max abs {np.abs(radial - exact).max():.4f})")
+    assert psnr >= 38.0, f"radial order deviates {psnr:.2f} dB on the golden"

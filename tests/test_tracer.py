@@ -202,3 +202,25 @@ def test_tracer_gradient_lane_wet_matches_forward_wet():
                             total_pair_cap=2 ** 12,
                             wet_zero=jnp.zeros(P)).wet
     np.testing.assert_array_equal(np.asarray(wet_zeroed), 0.0)
+
+
+def test_exact_order_matches_oracle():
+    """exact_order=True re-blends the production candidate windows in
+    per-ray depth order: on the ADVERSARIAL tilted-overlap scene (where the
+    radial order deviates, test_tiled_tracer_adversarial_order) it must
+    match the oracle to float tolerance, because with no cull truncation
+    the only difference left is summation order."""
+    scene = prepare_trace_scene(*_shell_scene(P=96, seed=3, tangent=False))
+    o, d = _ray_grid(16, 16, seed=4)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    ref = trace_rays_reference(scene, o, d, bg)
+    out = trace_rays(scene, o, d, bg, backend="tiled_interp",
+                     exact_order=True)
+    for a, b in [(out.rgb, ref.rgb), (out.acc, ref.acc), (out.dpt, ref.dpt),
+                 (out.norm, ref.norm), (out.dist, ref.dist),
+                 (out.trans, ref.trans)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4)
+    # PSNR formulation of the same bound (VERDICT r3: parity <= 0.01 dB)
+    mse = float(np.mean((np.asarray(out.rgb) - np.asarray(ref.rgb)) ** 2))
+    assert mse < 1e-10
