@@ -25,14 +25,27 @@ from envgs_tpu.models.embedders import (
     HashEmbedder,
     KPlanesEmbedder,
     LatentCodeEmbedder,
+    SpacetimeEmbedder,
     composed_xyzt,
+    depth_embedder,
+    empty_embedder,
+    noop_embedder,
     positional_encoding,
+    sh_dir_encoding,
 )
 from envgs_tpu.models.regressors import (
     MLP,
+    DisplacementRegressor,
+    ImageBasedRegressor,
+    ImageBasedSphericalHarmonics,
+    ResidualRegressor,
+    SE3Regressor,
     SplitRegressor,
     contract,
+    empty_regressor,
+    noop_regressor,
     spherical_harmonics_apply,
+    zero_regressor,
 )
 
 # --- SAMPLERS (easyvolcap/models/samplers/) --------------------------------
@@ -65,12 +78,32 @@ EMBEDDERS.register(KPlanesEmbedder, name="KPlanesEmbedder")
 EMBEDDERS.register(DeformationEmbedder, name="DeformationEmbedder")
 from envgs_tpu.models.embedders import ibr_embedder  # noqa: E402
 EMBEDDERS.register(ibr_embedder, name="ImageBasedEmbedder")
+EMBEDDERS.register(ibr_embedder, name="GeometryImageBasedEmbedder")
+EMBEDDERS.register(empty_embedder, name="EmptyEmbedder")
+EMBEDDERS.register(noop_embedder, name="NoopEmbedder")
+EMBEDDERS.register(sh_dir_encoding, name="TcnnDirEmbedder")  # SH encoding
+EMBEDDERS.register(SpacetimeEmbedder, name="SpacetimeEmbedder")
+EMBEDDERS.register(depth_embedder, name="DepthEmbedder")
 
 # --- REGRESSORS (easyvolcap/models/networks/regressors/) -------------------
 REGRESSORS.register(MLP, name="MlpRegressor")
+REGRESSORS.register(MLP, name="TcnnMlpRegressor")  # same math, XLA
 REGRESSORS.register(SplitRegressor, name="SplitRegressor")
+REGRESSORS.register(SplitRegressor, name="TcnnSplitRegressor")
 REGRESSORS.register(spherical_harmonics_apply, name="SphericalHarmonics")
 REGRESSORS.register(contract, name="ContractRegressor")
+REGRESSORS.register(empty_regressor, name="EmptyRegressor")
+REGRESSORS.register(noop_regressor, name="NoopRegressor")
+REGRESSORS.register(zero_regressor, name="ZeroRegressor")
+REGRESSORS.register(DisplacementRegressor, name="DisplacementRegressor")
+REGRESSORS.register(ResidualRegressor, name="ResidualRegressor")
+REGRESSORS.register(SE3Regressor, name="SE3Regressor")
+REGRESSORS.register(ImageBasedRegressor, name="ImageBasedRegressor")
+REGRESSORS.register(ImageBasedSphericalHarmonics,
+                    name="ImageBasedSphericalHarmonics")
+REGRESSORS.register(NeusConfig, name="SDFRegressor")  # SDF field lives here
+REGRESSORS.register(NeusConfig, name="ColorRegressor")
+REGRESSORS.register(NeusConfig, name="SingleVarianceRegressor")  # inv_s
 
 # --- RENDERERS (easyvolcap/models/renderers/) ------------------------------
 RENDERERS.register(volume_render, name="VolumeRenderer")

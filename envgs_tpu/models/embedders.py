@@ -255,6 +255,70 @@ class DeformationEmbedder(NamedTuple):
         return x + (h @ w + b)
 
 
+def empty_embedder(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-width feature (empty_embedder.py: out_dim = 0)."""
+    return jnp.zeros((*x.shape[:-1], 0), x.dtype)
+
+
+def noop_embedder(x: jnp.ndarray) -> jnp.ndarray:
+    """Identity passthrough (noop_embedder.py)."""
+    return x
+
+
+def sh_dir_encoding(dirs: jnp.ndarray, degree: int = 3) -> jnp.ndarray:
+    """Spherical-harmonics direction encoding, out_dim = degree^2.
+
+    The reference's TcnnDirEmbedder (tcnn_dir_embedder.py:14-36, tinycudann
+    otype=SphericalHarmonics, default degree 3 -> 9 features); here the raw
+    real-SH basis of utils/sh.py evaluated at the (assumed unit) dirs —
+    pure VPU polynomials, fuses into the consuming MLP's first matmul."""
+    from envgs_tpu.utils.sh import sh_basis
+
+    return sh_basis(degree - 1, dirs)
+
+
+class SpacetimeEmbedder(NamedTuple):
+    """Concatenated per-view + per-frame latent codes
+    (spacetime_embedder.py:17-48: two LatentCodeEmbedders indexed by the
+    batch's view id v and frame id t)."""
+
+    n_views: int = 4
+    n_frames: int = 1
+    space_dim: int = 8
+    time_dim: int = 8
+
+    @property
+    def out_dim(self) -> int:
+        return self.space_dim + self.time_dim
+
+    def init(self, key) -> dict:
+        ks, kt = jax.random.split(key)
+        return dict(
+            space=LatentCodeEmbedder(self.n_views, self.space_dim).init(ks),
+            time=LatentCodeEmbedder(self.n_frames, self.time_dim).init(kt),
+        )
+
+    def __call__(self, params: dict, v_idx, t_idx) -> jnp.ndarray:
+        s = LatentCodeEmbedder(self.n_views, self.space_dim)(
+            params["space"], v_idx)
+        t = LatentCodeEmbedder(self.n_frames, self.time_dim)(
+            params["time"], t_idx)
+        return jnp.concatenate([s, t], axis=-1)
+
+
+def depth_embedder(xyz: jnp.ndarray, K, R, T,
+                   normalize: bool = False) -> jnp.ndarray:
+    """Camera-space depth of world points, (..., 1)
+    (depth_embedder.py:25-35: project onto the image plane, keep z;
+    normalize -> per-cloud standardization)."""
+    z = xyz @ R.T[:, 2:3] + T[2]  # (..., 1) third row of R x + T
+    if normalize:
+        mu = jnp.mean(z, axis=-2, keepdims=True)
+        sd = jnp.std(z, axis=-2, keepdims=True)
+        z = (z - mu) / jnp.maximum(sd, 1e-8)
+    return z
+
+
 def ibr_embedder(xyz, src_feats, src_cams, agg: str = "meanvar"):
     """Standalone image-based-rendering embedder (reference
     models/embedders/image_based_embedder.py semantics): project world

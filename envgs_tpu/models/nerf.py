@@ -110,12 +110,23 @@ class NerfConfig(NamedTuple):
     use_disparity: bool = False
     bg_brightness: float = 0.0
     separate_levels: bool = False  # one network per round (MultilevelNetwork)
+    # direction branch: "pe" (PositionalEncodingEmbedder, dir_freqs) or "sh"
+    # (TcnnDirEmbedder: raw SH basis of degree sh_dir_degree — the encoding
+    # the reference's instant-ngp-style configs pair with the hash grid)
+    dir_encoding: str = "pe"
+    sh_dir_degree: int = 3
+
+    @property
+    def dir_dim(self) -> int:
+        if self.dir_encoding == "sh":
+            return self.sh_dir_degree ** 2
+        return pe_dim(3, self.dir_freqs)
 
     @property
     def field(self) -> SplitRegressor:
         return SplitRegressor(
             xyz_dim=pe_dim(3, self.xyz_freqs),
-            dir_dim=pe_dim(3, self.dir_freqs),
+            dir_dim=self.dir_dim,
             width=self.width,
             depth=self.depth,
             feat_dim=self.feat_dim,
@@ -130,7 +141,12 @@ class NerfConfig(NamedTuple):
 def eval_field(cfg: NerfConfig, params, xyz, viewdir):
     """xyz (..., 3), viewdir (..., 3) -> (rgb (..., 3), sigma (...,))."""
     xf = positional_encoding(xyz, cfg.xyz_freqs)
-    df = positional_encoding(viewdir, cfg.dir_freqs)
+    if cfg.dir_encoding == "sh":
+        from envgs_tpu.models.embedders import sh_dir_encoding
+
+        df = sh_dir_encoding(viewdir, cfg.sh_dir_degree)
+    else:
+        df = positional_encoding(viewdir, cfg.dir_freqs)
     df = jnp.broadcast_to(df, (*xf.shape[:-1], df.shape[-1]))
     return cfg.field(params, xf, df)
 

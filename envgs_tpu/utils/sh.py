@@ -98,6 +98,44 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+def sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Raw real-SH basis values at unit directions: (..., (deg+1)^2).
+
+    The directional-encoding form of the table above (what the reference's
+    TcnnDirEmbedder gets from tinycudann's SphericalHarmonics encoding,
+    tcnn_dir_embedder.py:24-31): eval_sh(deg, sh, d) == sum_i sh[..., i] *
+    sh_basis(deg, d)[..., i]."""
+    assert 0 <= deg <= 4
+    one = jnp.ones_like(dirs[..., :1])
+    cols = [C0 * one]
+    if deg > 0:
+        x, y, z = dirs[..., :1], dirs[..., 1:2], dirs[..., 2:3]
+        cols += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            cols += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                     C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                cols += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+                         C3[2] * y * (4 * zz - xx - yy),
+                         C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                         C3[4] * x * (4 * zz - xx - yy),
+                         C3[5] * z * (xx - yy), C3[6] * x * (xx - 3 * yy)]
+                if deg > 3:
+                    cols += [C4[0] * xy * (xx - yy),
+                             C4[1] * yz * (3 * xx - yy),
+                             C4[2] * xy * (7 * zz - 1),
+                             C4[3] * yz * (7 * zz - 3),
+                             C4[4] * (zz * (35 * zz - 30) + 3),
+                             C4[5] * xz * (7 * zz - 3),
+                             C4[6] * (xx - yy) * (7 * zz - 1),
+                             C4[7] * xz * (xx - 3 * yy),
+                             C4[8] * (xx * (xx - 3 * yy)
+                                      - yy * (3 * xx - yy))]
+    return jnp.concatenate(cols, axis=-1)
+
+
 def eval_sh_color(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """SH -> RGB with the 3DGS +0.5 shift and clamp-min-0.
 
