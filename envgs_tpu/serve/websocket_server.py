@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import io
+import os
 import struct
 import time
 
@@ -57,11 +58,80 @@ def encode_camera(K, R, T) -> bytes:
     return b"CAM0" + struct.pack("<21f", *vals)
 
 
-class RenderServer:
-    """Serves renders of a trained checkpoint over websockets."""
+RENDER_TYPES = ("RENDER", "DEPTH", "ALPHA", "NORMAL", "SURFACE_NORMAL",
+                "SPECULAR", "DIFFUSE", "REFLECTION")
 
-    def __init__(self, runner):
+
+def typed_map(out, render_type: str) -> np.ndarray:
+    """EnvGSOutput -> display rgb for the requested render type.
+
+    The viewer counterpart of the reference's render-type switching
+    (volumetric_video_viewer.py:306-320, visualization_type cycling) —
+    same mapping as the offline Visualizer (train/evaluator.py:115-127)."""
+    from envgs_tpu.train.evaluator import colorize_depth, colorize_normal
+
+    if render_type == "DEPTH":
+        return colorize_depth(np.asarray(out.dpt_map)[..., 0])
+    if render_type == "ALPHA":
+        return np.repeat(np.asarray(out.acc_map), 3, -1)
+    if render_type == "NORMAL":
+        return colorize_normal(np.asarray(out.norm_map))
+    if render_type == "SURFACE_NORMAL":
+        return colorize_normal(np.asarray(out.surf_norm_map))
+    if render_type == "SPECULAR":
+        return np.repeat(np.asarray(out.spec_map)[..., :1], 3, -1)
+    if render_type == "DIFFUSE":
+        return np.asarray(out.dif_rgb_map)
+    if render_type == "REFLECTION":
+        return np.asarray(out.ref_rgb_map)
+    return np.asarray(out.rgb_map)
+
+
+class RenderServer:
+    """Serves renders of a trained checkpoint over websockets.
+
+    `watch=True` attaches read-only to a LIVE training run (the reference
+    viewer's attach-to-running-training mode,
+    volumetric_video_viewer.py:336-375): before each frame the server
+    polls the run's latest checkpoint and hot-reloads the model state when
+    it changes — pool caps are static, so the jitted render fn is reused
+    across reloads."""
+
+    def __init__(self, runner, watch: bool = False):
         self.runner = runner  # envgs_tpu.train.runner.Runner
+        self.watch = watch
+        self._ckpt_sig = None  # (path, mtime) of the last loaded checkpoint
+        self.attached_iter = None
+
+    def maybe_reload(self) -> None:
+        """Hot-reload runner.state from the newest checkpoint (watch mode)."""
+        if not self.watch:
+            return
+        import envgs_tpu.train.checkpoints as ckpt
+
+        latest = ckpt.find_latest(self.runner.model_dir)
+        if not latest:
+            return
+        try:
+            sig = (latest, int(os.path.getmtime(latest) * 1e3))
+            if sig == self._ckpt_sig:
+                return
+            state, it, _cam = ckpt.load_checkpoint(
+                latest, self.runner.state.base.cap,
+                self.runner.state.env.cap,
+                n_views=len(self.runner.views))
+        except Exception as exc:  # mid-write npz: keep serving the old state
+            print(f"[watch] reload skipped: {exc}")
+            return
+        self.runner.state = state
+        self._ckpt_sig = sig
+        self.attached_iter = int(it)
+        print(f"[watch] attached to {latest} @ iter {it}")
+
+    def _render(self, cam, render_type: str) -> np.ndarray:
+        self.maybe_reload()
+        out = self.runner.render_view(cam)
+        return typed_map(out, render_type)  # device fetch blocks here
 
     async def handle(self, ws):
         import json
@@ -71,6 +141,7 @@ class RenderServer:
         from envgs_tpu.utils.camera import Camera
 
         cam0 = self.runner.views[0]["camera"]
+        render_type = "RENDER"  # per-connection switchable
         # hello frame: initial camera meta (text, so binary-frame clients
         # can tell it apart from JPEG payloads)
         await ws.send(json.dumps({
@@ -78,9 +149,19 @@ class RenderServer:
             "K": np.asarray(cam0.K, np.float32).ravel().tolist(),
             "R": np.asarray(cam0.R, np.float32).ravel().tolist(),
             "T": np.asarray(cam0.T, np.float32).ravel().tolist(),
+            "types": list(RENDER_TYPES),
+            "watch": bool(self.watch),
         }))
         async for msg in ws:
-            if isinstance(msg, str):  # text frames are not camera packets
+            if isinstance(msg, str):  # text frames: control messages
+                try:
+                    obj = json.loads(msg)
+                except Exception:
+                    continue
+                t = obj.get("render_type")
+                if t in RENDER_TYPES:
+                    render_type = t
+                    await ws.send(json.dumps({"render_type": render_type}))
                 continue
             try:
                 K, R, T = decode_camera(msg)
@@ -93,9 +174,8 @@ class RenderServer:
             # compile) would block the websocket keepalive pings and the
             # client would see the connection drop
             t0 = time.perf_counter()
-            out = await asyncio.get_event_loop().run_in_executor(
-                None, self.runner.render_view, cam)
-            rgb = np.asarray(out.rgb_map)  # device fetch blocks here
+            rgb = await asyncio.get_event_loop().run_in_executor(
+                None, self._render, cam, render_type)
             t1 = time.perf_counter()
             jpeg = encode_jpeg(rgb)
             t2 = time.perf_counter()
@@ -104,11 +184,15 @@ class RenderServer:
             # volumetric_video_viewer.py:267-375): a text frame after each
             # JPEG so the HUD can show server-side costs, not just
             # client-side fps
-            await ws.send(json.dumps({"stats": {
+            stats = {
                 "render_ms": round((t1 - t0) * 1e3, 1),
                 "encode_ms": round((t2 - t1) * 1e3, 1),
                 "jpeg_kb": round(len(jpeg) / 1024, 1),
-            }}))
+                "type": render_type,
+            }
+            if self.attached_iter is not None:
+                stats["iter"] = self.attached_iter
+            await ws.send(json.dumps({"stats": stats}))
 
     async def serve(self, host: str = "0.0.0.0", port: int = 8765):
         import websockets
@@ -128,7 +212,6 @@ def viewer_page(connection, request):
     if "upgrade" in (request.headers.get("Connection") or "").lower():
         return None
     import http
-    import os
 
     from websockets.datastructures import Headers
     from websockets.http11 import Response
@@ -158,16 +241,14 @@ async def request_frame(uri: str, K, R, T) -> np.ndarray:
 
 
 def serve_config(config: str, overrides=(), host: str = "0.0.0.0",
-                 port: int = 8765):
+                 port: int = 8765, watch: bool = False):
     """Build the runner from a config chain and serve (the evc-ws analog)."""
-    import os
-
     from envgs_tpu.cli import make_runner
     from envgs_tpu.engine import load_config
 
     runner = make_runner(load_config(config, overrides=list(overrides),
                                      root=os.getcwd()))
-    asyncio.run(RenderServer(runner).serve(host=host, port=port))
+    asyncio.run(RenderServer(runner, watch=watch).serve(host=host, port=port))
 
 
 def main():
@@ -175,8 +256,11 @@ def main():
     p.add_argument("-c", "--config", required=True)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--watch", action="store_true",
+                   help="attach read-only to a live training: hot-reload "
+                        "the run's latest checkpoint before each frame")
     a = p.parse_args()
-    serve_config(a.config, host=a.host, port=a.port)
+    serve_config(a.config, host=a.host, port=a.port, watch=a.watch)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,7 @@ def test_websocket_roundtrip_server():
         def render_view(self, cam):
             class Out:
                 rgb_map = jnp.asarray(frame)
+                dpt_map = jnp.ones((16, 16, 1))
             return Out()
 
     from envgs_tpu.serve.websocket_server import RenderServer, request_frame
@@ -136,17 +137,78 @@ def test_websocket_roundtrip_server():
             async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
                 hello = _json.loads(await ws.recv())
                 assert hello["H"] == 16
+                assert "RENDER" in hello["types"]  # advertised type list
                 await ws.send(encode_camera(
                     np.diag([20.0, 20.0, 1.0]), np.eye(3), np.zeros(3)))
                 jpeg = await ws.recv()
                 assert isinstance(jpeg, (bytes, bytearray))
                 stats = _json.loads(await ws.recv())["stats"]
                 assert stats["render_ms"] >= 0 and stats["jpeg_kb"] > 0
+                assert stats["type"] == "RENDER"
+                # render-type switching (viewer '1-8'/'T' keys): request
+                # DEPTH, expect the ack then a DEPTH-typed frame
+                await ws.send(_json.dumps({"render_type": "DEPTH"}))
+                ack = _json.loads(await ws.recv())
+                assert ack["render_type"] == "DEPTH"
+                await ws.send(encode_camera(
+                    np.diag([20.0, 20.0, 1.0]), np.eye(3), np.zeros(3)))
+                jpeg2 = await ws.recv()
+                assert isinstance(jpeg2, (bytes, bytearray))
+                stats2 = _json.loads(await ws.recv())["stats"]
+                assert stats2["type"] == "DEPTH"
             return out
 
     out = asyncio.run(run())
     assert out.shape == (16, 16, 3)
     assert np.abs(out - frame).mean() < 0.05  # jpeg loss
+
+
+def test_websocket_watch_attaches_to_live_training(tmp_path):
+    """--watch mode: the server hot-reloads the run's latest checkpoint
+    before each frame (read-only live-training attach). Checkpoints are
+    written the way the Runner writes them; a second save with changed
+    params must be picked up without rebuilding the render fn."""
+    import os
+    import time as _time
+
+    import envgs_tpu.train.checkpoints as ckpt
+    from envgs_tpu.models.gaussians import create_pool
+    from envgs_tpu.serve.websocket_server import RenderServer
+    from envgs_tpu.train.trainer import init_train_state
+
+    rng = np.random.default_rng(0)
+    base = create_pool(rng.normal(size=(8, 3)).astype(np.float32),
+                       rng.random((8, 3)).astype(np.float32), cap=16)
+    env = create_pool(rng.normal(size=(4, 3)).astype(np.float32),
+                      rng.random((4, 3)).astype(np.float32), cap=8)
+    state = init_train_state(base, env, jax.random.PRNGKey(0))
+
+    class FakeRunner:
+        model_dir = str(tmp_path)
+        views = [dict(camera=make_camera(
+            8, 8, np.diag([10.0, 10.0, 1.0]), np.eye(3, dtype=np.float32),
+            np.zeros(3, np.float32)))]
+
+    runner = FakeRunner()
+    runner.state = state
+    srv = RenderServer(runner, watch=True)
+    srv.maybe_reload()
+    assert srv.attached_iter is None  # no checkpoint yet -> keep init state
+
+    path = os.path.join(str(tmp_path), "latest.npz")
+    ckpt.save_checkpoint(path, state, it=100)
+    srv.maybe_reload()
+    assert srv.attached_iter == 100
+
+    moved = state._replace(base=state.base._replace(
+        params=state.base.params._replace(xyz=state.base.params.xyz + 1.0)))
+    _time.sleep(0.01)  # distinct mtime (ms-resolution signature)
+    ckpt.save_checkpoint(path, moved, it=200)
+    srv.maybe_reload()
+    assert srv.attached_iter == 200
+    np.testing.assert_allclose(
+        np.asarray(runner.state.base.params.xyz)[:8],
+        np.asarray(state.base.params.xyz)[:8] + 1.0, atol=1e-6)
 
 
 def test_msssim_perfect_match():

@@ -241,3 +241,53 @@ def test_dnerf_time_preserved(tmp_path):
     im = np.asarray(Image.open(
         os.path.join(out, "train", "images", "0000", "000000.png")))
     assert np.all(im[0, 0] == 0)
+
+
+def test_run_colmap_fake_binary_end_to_end(tmp_path):
+    """run_colmap orchestration (reference run_colmap.py:85-192 semantics)
+    against a FAKE colmap binary: the driver must invoke the pipeline
+    stages in order (feature_extractor -> matcher -> mapper -> BA ->
+    converters), then chain into colmap_to_easyvolcap and produce a
+    trainable scene + metadata. With no binary, it must print the exact
+    commands instead of failing."""
+    from run_colmap import colmap_commands, ingest, run_pipeline
+
+    cap = str(tmp_path / "capture")
+    stash = str(tmp_path / "stash")
+    _make_colmap_capture(stash)  # donor model; the fake mapper "produces" it
+    os.makedirs(os.path.join(cap, "images"), exist_ok=True)
+    for n in os.listdir(os.path.join(stash, "images")):
+        os.link(os.path.join(stash, "images", n),
+                os.path.join(cap, "images", n))
+
+    fake = str(tmp_path / "fake_colmap")
+    log = str(tmp_path / "calls.log")
+    with open(fake, "w") as fh:
+        fh.write(
+            "#!/bin/bash\n"
+            f"echo \"$1\" >> {log}\n"
+            "if [ \"$1\" = mapper ]; then\n"
+            f"  mkdir -p \"$7/0\" && cp {stash}/sparse/0/*.txt \"$7/0/\"\n"
+            "fi\n"
+            "exit 0\n")
+    os.chmod(fake, 0o755)
+
+    # no binary on PATH -> prints commands, returns False, no exception
+    assert run_pipeline(cap, binary="definitely_not_colmap") is False
+
+    # command list is the documented pipeline, in order
+    names = [c[1] for c in colmap_commands(cap)]
+    assert names == ["feature_extractor", "exhaustive_matcher", "mapper",
+                     "bundle_adjuster", "model_converter", "model_converter"]
+
+    out = str(tmp_path / "scene")
+    meta = ingest(cap, out, binary=fake)
+    assert meta is not None and meta["spatial_scale"] > 0
+    called = open(log).read().split()
+    assert called[:3] == ["feature_extractor", "exhaustive_matcher", "mapper"]
+    # trainable-scene layout (INGEST.md step 1 contract)
+    for p in ("intri.yml", "extri.yml", "metadata.json",
+              os.path.join("images", "0000", "000000.png")):
+        assert os.path.exists(os.path.join(out, p)), p
+    mj = json.load(open(os.path.join(out, "metadata.json")))
+    assert mj["view_sample"] and mj["val_view_sample"]
