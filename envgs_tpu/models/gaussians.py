@@ -295,6 +295,11 @@ class DensifyConfig(NamedTuple):
     max_gs_threshold: float = 0.9
     split_ratio: float = 0.8  # children scale divisor = ratio * N
     split_n: int = 2
+    # weight-quantile split (too-big & not-low-weight) recipe — the
+    # reference hardcodes split(mask, N=5, ratio=0.5)
+    # (gaussian2d_utils.py:836-847)
+    weight_split_n: int = 5
+    weight_split_ratio: float = 0.5
 
 
 def _write_children(params: GaussianParams, adam_tree, child: GaussianParams,
@@ -374,6 +379,11 @@ def densify_and_prune(
         else:
             prune = prune | too_big
 
+    # a gradient-split parent is pruned by split() before the reference's
+    # prune_large_gs pass could ever see it (:711-715) — keep the masks
+    # exclusive so one parent never splits under both recipes in one call
+    weight_split_mask = weight_split_mask & ~split_mask
+
     # split parents are pruned as well (:711-715)
     parents_gone = prune | split_mask | weight_split_mask
 
@@ -398,28 +408,33 @@ def densify_and_prune(
     clone_slots, base = alloc(clone_mask, base)
     params, adam_tree = _write_children(p, adam_tree, p, clone_mask, clone_slots)
 
-    # split: N=2 children sampled along the surfel plane, scale/(ratio*N),
-    # parents pruned (:692-716). weight-split uses N=5, ratio=0.5 (:840) —
-    # approximated here with the same N=2 machinery for shape stability.
-    split_all = split_mask | weight_split_mask
+    # split: N children sampled along the surfel plane, scale/(ratio*N),
+    # parents pruned (:692-716). Gradient-split uses (split_n, split_ratio)
+    # = (2, 0.8); weight-split uses the reference's exact (5, 0.5) (:840) —
+    # separate static loops, so both recipes run at their own N per call.
     R = quat_to_rotmat(p.rotation)
     if scal.shape[-1] == 2:  # surfel: sample offsets in the tangent plane
         stds3 = jnp.concatenate([scal, jnp.zeros_like(scal[:, :1])], axis=-1)
     else:  # full 3D Gaussian
         stds3 = scal
-    denomin = cfg.split_ratio * cfg.split_n
-    child_scaling = scaling_inverse(scal / denomin)
 
-    for i in range(cfg.split_n):
-        key, sub = jax.random.split(key)
-        eps = jax.random.normal(sub, stds3.shape) * stds3
-        offs = jnp.einsum("nij,nj->ni", R, eps)
-        child = p._replace(
-            xyz=p.xyz + offs,
-            scaling=child_scaling,
-        )
-        slots_i, base = alloc(split_all, base)
-        params, adam_tree = _write_children(params, adam_tree, child, split_all, slots_i)
+    split_groups = [(split_mask, cfg.split_n, cfg.split_ratio),
+                    (weight_split_mask, cfg.weight_split_n,
+                     cfg.weight_split_ratio)]
+
+    for mask_g, n_g, ratio_g in split_groups:
+        child_scaling = scaling_inverse(scal / (ratio_g * n_g))
+        for i in range(n_g):
+            key, sub = jax.random.split(key)
+            eps = jax.random.normal(sub, stds3.shape) * stds3
+            offs = jnp.einsum("nij,nj->ni", R, eps)
+            child = p._replace(
+                xyz=p.xyz + offs,
+                scaling=child_scaling,
+            )
+            slots_i, base = alloc(mask_g, base)
+            params, adam_tree = _write_children(params, adam_tree, child,
+                                                mask_g, slots_i)
 
     # track which children actually landed (slots within capacity)
     n_free = jnp.sum((~active).astype(jnp.int32))
@@ -427,15 +442,16 @@ def densify_and_prune(
     new_active = active & (~parents_gone)
     for want, slots in [(clone_mask, clone_slots)]:
         new_active = new_active.at[jnp.where(want, slots, cap)].set(True, mode="drop")
-    # re-derive split slots for activation (same ranks as in the loop)
+    # re-derive split slots for activation (same ranks as in the loops)
     base2 = jnp.sum(clone_mask.astype(jnp.int32))
-    for i in range(cfg.split_n):
-        rank = jnp.cumsum(split_all.astype(jnp.int32)) - 1
-        slots_i = free_slots[jnp.clip(base2 + rank, 0, cap - 1)]
-        new_active = new_active.at[jnp.where(split_all, slots_i, cap)].set(
-            True, mode="drop"
-        )
-        base2 = base2 + jnp.sum(split_all.astype(jnp.int32))
+    for mask_g, n_g, _ratio_g in split_groups:
+        for i in range(n_g):
+            rank = jnp.cumsum(mask_g.astype(jnp.int32)) - 1
+            slots_i = free_slots[jnp.clip(base2 + rank, 0, cap - 1)]
+            new_active = new_active.at[jnp.where(mask_g, slots_i, cap)].set(
+                True, mode="drop"
+            )
+            base2 = base2 + jnp.sum(mask_g.astype(jnp.int32))
 
     # --- budget enforcement (prune_visibility, :849-865) --------------------
     if cfg.prune_visibility:

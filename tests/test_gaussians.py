@@ -187,3 +187,43 @@ def test_densify_is_jittable():
     fn = jax.jit(lambda p, a, k: densify_and_prune(p, a, cfg, k))
     out, _ = fn(pool, _zero_adam(pool), jax.random.PRNGKey(0))
     assert out.cap == pool.cap
+
+
+def test_weight_split_uses_n5_ratio05():
+    """Weight-quantile split follows the reference's exact recipe —
+    split(mask, N=5, ratio=0.5) (gaussian2d_utils.py:836-847): a too-big,
+    not-low-weight splat yields FIVE children with scale / (0.5 * 5),
+    while a gradient-split in the same call still yields TWO children at
+    scale / (0.8 * 2)."""
+    pool = _pool()
+    cap = pool.cap
+    # splat 3: high grad + big -> gradient split (N=2)
+    grad = jnp.zeros((cap, 2)).at[3].set(jnp.asarray([10.0, 0.0]))
+    vis = jnp.zeros((cap,), bool).at[:16].set(True)
+    # weights: everyone visible gets weight 1 except splat 7 (3.0, clearly
+    # above the quantile) -> splat 7 is too-big & not-low-weight
+    w = jnp.zeros((cap,)).at[:16].set(1.0).at[7].set(3.0)
+    pool = pool._replace(stats=accumulate_stats(pool.stats, grad, vis,
+                                                weight=w))
+    params = pool.params._replace(
+        scaling=pool.params.scaling.at[3].set(jnp.log(10.0))
+                                    .at[7].set(jnp.log(50.0)))
+    pool = pool._replace(params=params)
+    cfg = DensifyConfig(densify_grad_threshold=1.0, min_opacity=0.01,
+                        prune_large_gs=True, max_scene_threshold=4.0,
+                        min_weight_threshold=0.5, spatial_scale=1.0)
+    new_pool, _ = densify_and_prune(pool, _zero_adam(pool), cfg,
+                                    jax.random.PRNGKey(0))
+    # splat 3 is ALSO too-big & not-low-weight, but the gradient split
+    # claims it (masks are exclusive): 16 - 2 parents + 2 + 5 = 21
+    assert int(new_pool.n_active) == 21
+    assert not bool(new_pool.stats.active[3])
+    assert not bool(new_pool.stats.active[7])
+    scal = np.exp(np.asarray(new_pool.params.scaling))
+    active = np.asarray(new_pool.stats.active)
+    children = scal[np.arange(len(active)) >= 16][active[16:]]
+    # 2 children at 10/(0.8*2)=6.25, 5 at 50/(0.5*5)=20.0
+    vals = np.sort(np.unique(np.round(children[:, 0], 3)))
+    np.testing.assert_allclose(vals, [6.25, 20.0], rtol=1e-4)
+    assert int((np.round(children[:, 0], 3) == 20.0).sum()) == 5
+    assert int((np.round(children[:, 0], 3) == 6.25).sum()) == 2
