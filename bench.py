@@ -145,7 +145,7 @@ def make_render_scene():
     # non-truncating below)
     cfg = EnvGSConfig(
         raster_backend="pallas", tracer_backend="tiled",
-        pair_cap=1_179_648, env_pair_cap=1_179_648, reflection_start_iter=0,
+        pair_cap=1_179_648, env_pair_cap=786_432, reflection_start_iter=0,
         render_mode=True,  # strip training-only kernel work (rgb identical)
     )
     return base, env, cam, cfg

@@ -24,7 +24,6 @@ semantics of envgs_sampler.py:454).
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -78,14 +77,7 @@ def _fpad(A: int) -> int:
     return -(-(_fout(A) + 1) // 8) * 8
 
 
-# sub-cone grid edge: SUBT^2 sub-cones of (RTILE/SUBT)^2 rays feed the
-# refine-stage plane-footprint test; 0 disables the test entirely.
-# DEFAULT 0: measured on the bench scene (scripts/tpu_sweep_subt.py), the
-# test cuts candidate fill 1.11M -> 0.90M (SUBT=4) but its refine cost
-# exceeds the gather+blend savings at snug pair caps — 11.99 fps (off) vs
-# 10.91 (SUBT=4) / 11.68 (SUBT=2). Kept env-togglable: scenes with much
-# fatter reflected-ray cones may invert the trade.
-SUBT = int(os.environ.get("ENVGS_TRACER_SUBT", "0"))
+NQUAD = 4  # probe boxes per tile (2x2 spatial quadrants of the ray grid)
 
 
 class RayTiles(NamedTuple):
@@ -95,70 +87,115 @@ class RayTiles(NamedTuple):
     tan_half: jnp.ndarray  # (T,) cone tangent (with slack)
     spread: jnp.ndarray  # (T,) origin spread radius
     n_tiles: int
-    # sub-cones over SUBT x SUBT ray sub-patches: ~SUBT x tighter tan/spread
-    # for the refine-stage plane-footprint test (None -> full-cone fallback)
-    sub_apex: jnp.ndarray | None = None  # (T, SUBT^2, 3)
-    sub_axis: jnp.ndarray | None = None  # (T, SUBT^2, 3)
-    sub_tan: jnp.ndarray | None = None  # (T, SUBT^2)
-    sub_spread: jnp.ndarray | None = None  # (T, SUBT^2)
+    # direction-space probe (None -> refine footprint test disabled):
+    # an orthonormal frame perpendicular to `axis` plus, per 8x8 ray
+    # quadrant, gnomonic center/half-width boxes of the ACTUAL ray
+    # directions and of the ray-origin offsets from the apex
+    probe_frame: jnp.ndarray | None = None  # (T, 2, 3): ex, ey rows
+    probe_box: jnp.ndarray | None = None
+    # ^ (T, NQUAD, 10): u_c u_a v_c v_a ox_c ox_a oy_c oy_a oz_c oz_a
+    probe_ok: jnp.ndarray | None = None  # (T,) bool
 
 
 def build_ray_tiles(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayTiles:
-    """Group an (H, W) ray grid into RTILE x RTILE cones (H, W padded)."""
+    """Group an (H, W) ray grid into RTILE x RTILE cones (H, W padded).
+
+    All per-ray math runs on (T, NRAY) component planes (NRAY = 256 on the
+    lane axis) — the (T, NRAY, 3) layout puts the 3-vector on the lane
+    axis at 3/128 utilisation and measured ~3x slower for the same pass
+    count."""
     H, W = ray_o.shape[:2]
     Hp = -(-H // RTILE) * RTILE
     Wp = -(-W // RTILE) * RTILE
-    o = jnp.pad(ray_o, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
-    d = jnp.pad(ray_d, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+    od_stack = jnp.concatenate([ray_o, ray_d], axis=-1)  # (H, W, 6)
+    od_stack = jnp.pad(od_stack, ((0, Hp - H), (0, Wp - W), (0, 0)),
+                       mode="edge")
     ty, tx = Hp // RTILE, Wp // RTILE
     T = ty * tx
-
-    def tilefy(x):
-        return (
-            x.reshape(ty, RTILE, tx, RTILE, 3)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(T, NRAY, 3)
-        )
-
-    ot, dt = tilefy(o), tilefy(d)
-    dn = dt / jnp.clip(jnp.linalg.norm(dt, axis=-1, keepdims=True), 1e-9, None)
-
-    def cone_of(o_g, d_g):
-        """(..., R, 3) origins+unit dirs -> bounding cone params."""
-        apex = jnp.mean(o_g, axis=-2)
-        axis = jnp.mean(d_g, axis=-2)
-        axis = axis / jnp.clip(
-            jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9, None)
-        cosang = jnp.clip(
-            jnp.sum(d_g * axis[..., None, :], axis=-1), -1.0, 1.0)
-        min_cos = jnp.min(cosang, axis=-1)
-        sin_half = jnp.sqrt(jnp.clip(1.0 - min_cos * min_cos, 0.0, 1.0))
-        tan_half = sin_half / jnp.clip(min_cos, 1e-3, None)
-        spread = jnp.max(
-            jnp.linalg.norm(o_g - apex[..., None, :], axis=-1), axis=-1)
-        return apex, axis, tan_half, spread
-
-    apex, axis, tan_half, spread = cone_of(ot, dn)
-    # sub-cones: regroup NRAY = (SUBT*sy) x (SUBT*sx) rays into SUBT^2
-    # spatially-contiguous sub-patches; each gets its own (much tighter)
-    # bounding cone for the refine-stage plane-footprint test
-    st = max(SUBT, 1)
-    s = RTILE // st
-
-    def subfy(x):
-        return (
-            x.reshape(T, st, s, st, s, 3)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(T, st * st, s * s, 3)
-        )
-
-    sub_apex, sub_axis, sub_tan, sub_spread = cone_of(subfy(ot), subfy(dn))
-    rays = jnp.concatenate(
-        [ot.transpose(0, 2, 1), dt.transpose(0, 2, 1),
-         jnp.zeros((T, 2, NRAY))], axis=1
+    # one transpose: (H, W, 6) -> (T, 6, NRAY), also the kernel ray layout
+    planes = (
+        od_stack.reshape(ty, RTILE, tx, RTILE, 6)
+        .transpose(0, 2, 4, 1, 3)
+        .reshape(T, 6, NRAY)
     )
+    rays = jnp.concatenate([planes, jnp.zeros((T, 2, NRAY))], axis=1)
+    ox, oy, oz = planes[:, 0], planes[:, 1], planes[:, 2]  # (T, NRAY)
+    dx, dy, dz = planes[:, 3], planes[:, 4], planes[:, 5]
+    dinv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-18))
+    dnx, dny, dnz = dx * dinv, dy * dinv, dz * dinv
+
+    def mean1(x):
+        return jnp.mean(x, axis=-1)
+
+    apx, apy, apz = mean1(ox), mean1(oy), mean1(oz)
+    axx, axy, axz = mean1(dnx), mean1(dny), mean1(dnz)
+    ainv = jax.lax.rsqrt(
+        jnp.maximum(axx * axx + axy * axy + axz * axz, 1e-18))
+    axx, axy, axz = axx * ainv, axy * ainv, axz * ainv
+    apex = jnp.stack([apx, apy, apz], axis=-1)
+    axis = jnp.stack([axx, axy, axz], axis=-1)
+    cosang = jnp.clip(
+        dnx * axx[:, None] + dny * axy[:, None] + dnz * axz[:, None],
+        -1.0, 1.0)
+    min_cos = jnp.min(cosang, axis=-1)
+    sin_half = jnp.sqrt(jnp.clip(1.0 - min_cos * min_cos, 0.0, 1.0))
+    tan_half = sin_half / jnp.clip(min_cos, 1e-3, None)
+    rox = ox - apx[:, None]
+    roy = oy - apy[:, None]
+    roz = oz - apz[:, None]
+    o_dist2 = rox * rox + roy * roy + roz * roz
+    spread = jnp.sqrt(jnp.max(o_dist2, axis=-1))
+
+    # ---- direction-space probe tables ----
+    # Gnomonic projection of every ray direction onto the plane
+    # perpendicular to `axis` (u = d.ex / d.axis, v = d.ey / d.axis), then
+    # a bounding box of the ACTUAL projected directions per 8x8 spatial
+    # ray quadrant, plus the matching boxes of the ray ORIGIN offsets from
+    # the apex in the same frame (the candidate test shifts/widens the
+    # direction box by the first-order origin terms). The refine-stage
+    # test rejects a candidate when its projected-footprint ellipse misses
+    # all four boxes — the boxes are the support of the real rays, so the
+    # test needs no smoothness/affine assumption and noisy reflected-ray
+    # bundles only widen the boxes (stays conservative). Tiles with rays
+    # beyond ~78 deg of the axis (cos < 0.2: gnomonic blowup) opt out via
+    # probe_ok.
+    up = jnp.where(jnp.abs(axis[:, 2:3]) < 0.9,
+                   jnp.asarray([0.0, 0.0, 1.0]),
+                   jnp.asarray([1.0, 0.0, 0.0]))
+    ex = jnp.cross(up, axis)
+    ex = ex / jnp.clip(jnp.linalg.norm(ex, axis=-1, keepdims=True),
+                       1e-9, None)
+    ey = jnp.cross(axis, ex)
+    wr = (dnx * axx[:, None] + dny * axy[:, None] + dnz * axz[:, None])
+    probe_ok = jnp.min(wr, axis=-1) > 0.2
+    inv_wr = 1.0 / jnp.maximum(wr, 0.2)
+    exx, exy, exz = ex[:, 0, None], ex[:, 1, None], ex[:, 2, None]
+    eyx, eyy, eyz = ey[:, 0, None], ey[:, 1, None], ey[:, 2, None]
+    u = (dnx * exx + dny * exy + dnz * exz) * inv_wr
+    v = (dnx * eyx + dny * eyy + dnz * eyz) * inv_wr
+    odx = rox * exx + roy * exy + roz * exz
+    ody = rox * eyx + roy * eyy + roz * eyz
+    odz = rox * axx[:, None] + roy * axy[:, None] + roz * axz[:, None]
+
+    def quadrant(x, red):  # (T, NRAY) -> (T, NQUAD) reduced over 8x8 rays
+        return red(x.reshape(T, 2, RTILE // 2, 2, RTILE // 2), axis=(2, 4)
+                   ).reshape(T, NQUAD)
+
+    def cbox(x):  # center/half-width boxes per quadrant
+        hi, lo = quadrant(x, jnp.max), quadrant(x, jnp.min)
+        return 0.5 * (hi + lo), 0.5 * (hi - lo)
+
+    u_c, u_a = cbox(u)
+    v_c, v_a = cbox(v)
+    ox_c, ox_a = cbox(odx)
+    oy_c, oy_a = cbox(ody)
+    oz_c, oz_a = cbox(odz)
+    probe_box = jnp.stack(
+        [u_c, u_a, v_c, v_a, ox_c, ox_a, oy_c, oy_a, oz_c, oz_a], axis=-1)
+    probe_frame = jnp.stack([ex, ey], axis=1)
+
     return RayTiles(rays, apex, axis, tan_half, spread, T,
-                    sub_apex, sub_axis, sub_tan, sub_spread)
+                    probe_frame, probe_box, probe_ok)
 
 
 def _morton3(u: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
@@ -225,6 +262,7 @@ def cull_and_sort(
     per_tile_cap: int = 4096, tile_block: int = 256,
     total_pair_cap: int | None = None,
     tile_mask: jnp.ndarray | None = None,
+    probe: bool = True,
 ):
     """Hierarchical cone culling -> chunk-aligned radially-sorted pairs.
 
@@ -289,12 +327,10 @@ def cull_and_sort(
          nrm_s[:, 2].reshape(NC, CHUNK),
          rc_s.reshape(NC, CHUNK)], axis=1)
 
-    S2 = (tiles.sub_apex.shape[1] if tiles.sub_apex is not None else 1)
-    use_plane = SUBT > 0  # 0 disables the plane-footprint test
+    use_probe = probe and tiles.probe_frame is not None
 
     def block_cull(args):
-        (apex, axis, tan_half, spread, tmask,
-         sub_apex, sub_axis, sub_tan, sub_spread) = args
+        (apex, axis, tan_half, spread, tmask, pframe, pbox, pok) = args
         B = apex.shape[0]
         # ---- coarse: cone vs chunk spheres ----
         proj = axis @ cmeanT - jnp.sum(axis * apex, -1, keepdims=True)
@@ -344,62 +380,76 @@ def cull_and_sort(
         near_s = d2_s <= slack_s * slack_s
         keep_s = ((hit_s | near_s) & (proj_s + cr > 0) & (cid < P)
                   & (cr > 0))
-        # ---- plane-footprint rejection (lossless tightening) ----
+        # ---- direction-space footprint rejection ----
         # The sphere test keeps any splat whose 3-sigma BALL meets the cone,
-        # but a surfel only shades where a ray's PLANE hit lands within rc of
-        # the center in-plane (measured on the bench scene: 75% of sphere-kept
-        # candidates have their nearest plane hit >3 sigma out — median 7.9).
-        # Per SUB-CONE (the full-tile cone is far too fat at env-dome
-        # distance: t0*tan_half alone is ~3 sigma): for a ray (a+do, x+dd),
-        # |do|<=spread_k, |dd|<=tan_k, hitting the splat plane at
-        # s* = t0 + ds, |n.(do + t0 dd)| <= wabs bounds |ds| <= wabs/c_lo
-        # with c_lo = |n.axis_k| - tan_k a lower bound on |n.d'|, and the
-        # hit-point displacement |p - p0| <= wabs(1 + 1/c_lo). A sub-cone
-        # rejects when even the closest possible hit stays outside rc, or
-        # when every hit parameter s* = t0 +- wabs/c_lo falls below T_MIN
-        # (the kernel's forward guard) — and only when c_lo is safely
-        # positive (no grazing ray in the sub-bundle). The candidate is
-        # dropped only if EVERY sub-cone rejects, so the test stays exactly
-        # conservative: kernels and oracle skip alpha < ALPHA_MIN, and no
-        # ray outside all sub-bounds can reach it.
-        def subcone_reject(a_k, x_k, tan_k, spr_k):
-            # all (B, 1)-broadcast x (B, C) elementwise; squared-distance
-            # compare (crc + reach >= 0, squaring is monotone) skips a sqrt
-            a0, a1, a2 = a_k[:, 0:1], a_k[:, 1:2], a_k[:, 2:3]
-            x0, x1, x2 = x_k[:, 0:1], x_k[:, 1:2], x_k[:, 2:3]
-            tk = tan_k[:, None]
-            rkx = cmx - a0
-            rky = cmy - a1
-            rkz = cmz - a2
-            denom = cnx * x0 + cny * x1 + cnz * x2  # n . axis (signed)
-            c_lo = jnp.abs(denom) - tk
-            applies = c_lo > 0.02
-            c_safe = jnp.maximum(c_lo, 0.02)
-            t0 = (cnx * rkx + cny * rky + cnz * rkz) / jnp.where(
-                jnp.abs(denom) < 1e-9, 1e-9, denom)
-            wabs = spr_k[:, None] + jnp.abs(t0) * tk
-            # p0 - m = t0*axis - rel (both on the plane -> in-plane dist)
-            d0x = t0 * x0 - rkx
-            d0y = t0 * x1 - rky
-            d0z = t0 * x2 - rkz
-            dist0_sq = d0x * d0x + d0y * d0y + d0z * d0z
-            reach = crc + wabs * (1.0 + 1.0 / c_safe) * 1.05 + 1e-6
-            smax = t0 + wabs / c_safe
-            return applies & ((dist0_sq > reach * reach) | (smax < T_MIN))
-
-        if not use_plane:
-            pass
-        elif S2 == 1:
-            keep_s = keep_s & ~subcone_reject(apex, axis, tan_half, spread)
-        else:
-            reject = subcone_reject(
-                sub_apex[:, 0], sub_axis[:, 0],
-                sub_tan[:, 0], sub_spread[:, 0])
-            for ks in range(1, S2):
-                reject = reject & subcone_reject(
-                    sub_apex[:, ks], sub_axis[:, ks],
-                    sub_tan[:, ks], sub_spread[:, ks])
-            keep_s = keep_s & ~reject
+        # but at env distance the cone's cross-section is many sigma wide
+        # (measured: only 24% of sphere-kept candidates shade any ray).
+        # A contributing ray must pass within R = rc + origin-spread of the
+        # splat center, i.e. its DIRECTION must land within the angular disk
+        # of radius ~R/dist around the candidate's direction. Per tile,
+        # build_ray_tiles stored gnomonic bounding boxes of the ACTUAL ray
+        # directions (one per 8x8 ray quadrant): reject a candidate whose
+        # disk misses all four boxes. The boxes are the support of the real
+        # rays — no smoothness assumption, noisy bundles just widen them —
+        # and a |d x rel| line-distance bound makes the disk radius exactly
+        # conservative up to the 1.05 margin. One dense elementwise pass;
+        # rejected rows vanish in the radial sort below, so blend/gather
+        # fill shrinks at zero extra compaction cost.
+        if use_probe:
+            exx = pframe[:, 0, 0:1]
+            exy = pframe[:, 0, 1:2]
+            exz = pframe[:, 0, 2:3]
+            eyx = pframe[:, 1, 0:1]
+            eyy = pframe[:, 1, 1:2]
+            eyz = pframe[:, 1, 2:3]
+            ax0 = axis[:, 0:1]
+            ax1 = axis[:, 1:2]
+            ax2 = axis[:, 2:3]
+            w = relx * ax0 + rely * ax1 + relz * ax2  # depth along axis
+            invw = 1.0 / jnp.maximum(w, 1e-6)
+            u0 = (relx * exx + rely * exy + relz * exz) * invw
+            v0 = (relx * eyx + rely * eyy + relz * eyz) * invw
+            # exact first-order gnomonic extents of the projected rc-disk
+            # (normal n): u-extent = rc*|P_{perp n}(ex - u0*axis)|/w with
+            # |ex - u0*axis|^2 = 1 + u0^2 (ex perp axis); 1.10 covers the
+            # second-order perspective terms
+            npx = cnx * exx + cny * exy + cnz * exz
+            npy = cnx * eyx + cny * eyy + cnz * eyz
+            npz = cnx * ax0 + cny * ax1 + cnz * ax2
+            bnu = npx - u0 * npz
+            bnv = npy - v0 * npz
+            scl = invw * 1.10
+            slu = crc * jnp.sqrt(
+                jnp.clip(1.0 + u0 * u0 - bnu * bnu, 0.0, None)) * scl
+            slv = crc * jnp.sqrt(
+                jnp.clip(1.0 + v0 * v0 - bnv * bnv, 0.0, None)) * scl
+            au0 = jnp.abs(u0)
+            av0 = jnp.abs(v0)
+            inside = jnp.zeros(keep_s.shape, bool)
+            for qd in range(NQUAD):
+                cu = pbox[:, qd, 0:1]
+                au = pbox[:, qd, 1:2]
+                cv = pbox[:, qd, 2:3]
+                av = pbox[:, qd, 3:4]
+                ocu = pbox[:, qd, 4:5]
+                oau = pbox[:, qd, 5:6]
+                ocv = pbox[:, qd, 6:7]
+                oav = pbox[:, qd, 7:8]
+                ocz = pbox[:, qd, 8:9]
+                oaz = pbox[:, qd, 9:10]
+                # first-order origin shift of the candidate direction seen
+                # from o_r: delta_u = (-odx + u0*odz)/w -> shifts the box
+                # center by (ocu - u0*ocz)/w and widens it by
+                # (oau + |u0|*oaz)/w (1.10 covers second order at the far
+                # gate's oz/w <= 0.25)
+                du = (jnp.abs(u0 - cu - (ocu - u0 * ocz) * invw)
+                      - (au + (oau + au0 * oaz) * invw * 1.10))
+                dv = (jnp.abs(v0 - cv - (ocv - v0 * ocz) * invw)
+                      - (av + (oav + av0 * oaz) * invw * 1.10))
+                inside = inside | ((du <= slu) & (dv <= slv))
+            far = w > 4.0 * (crc + spread[:, None])
+            applies = far & pok[:, None]
+            keep_s = keep_s & (inside | ~applies)
         rad_key = jnp.where(keep_s, jnp.sqrt(d2_s), jnp.inf)
         # culled candidates become sentinel P: they sort past every kept
         # pair AND the slots of a tile's last partial CHUNK read as empty
@@ -441,26 +491,23 @@ def cull_and_sort(
     if tile_mask is None:
         tile_mask = jnp.ones((T,), bool)
     tmsk = jnp.pad(tile_mask, (0, pad), constant_values=False)
-    if tiles.sub_apex is not None:
-        sap = jnp.pad(tiles.sub_apex, ((0, pad), (0, 0), (0, 0)))
-        sax = jnp.pad(tiles.sub_axis, ((0, pad), (0, 0), (0, 0)))
-        stn = jnp.pad(tiles.sub_tan, ((0, pad), (0, 0)))
-        ssp = jnp.pad(tiles.sub_spread, ((0, pad), (0, 0)))
-    else:  # full-cone fallback (manually-constructed RayTiles)
-        sap = jnp.zeros((Tp, 1, 3))
-        sax = jnp.zeros((Tp, 1, 3))
-        stn = jnp.zeros((Tp, 1))
-        ssp = jnp.zeros((Tp, 1))
+    if use_probe:
+        pfr = jnp.pad(tiles.probe_frame, ((0, pad), (0, 0), (0, 0)))
+        pbx = jnp.pad(tiles.probe_box, ((0, pad), (0, 0), (0, 0)))
+        pokm = jnp.pad(tiles.probe_ok, (0, pad), constant_values=False)
+    else:  # manually-constructed RayTiles: no probe data
+        pfr = jnp.zeros((Tp, 2, 3))
+        pbx = jnp.zeros((Tp, NQUAD, 10))
+        pokm = jnp.zeros((Tp,), bool)
     blocks = (
         apex.reshape(-1, tile_block, 3),
         axis.reshape(-1, tile_block, 3),
         tanh.reshape(-1, tile_block),
         sprd.reshape(-1, tile_block),
         tmsk.reshape(-1, tile_block),
-        sap.reshape(-1, tile_block, *sap.shape[1:]),
-        sax.reshape(-1, tile_block, *sax.shape[1:]),
-        stn.reshape(-1, tile_block, *stn.shape[1:]),
-        ssp.reshape(-1, tile_block, *ssp.shape[1:]),
+        pfr.reshape(-1, tile_block, 2, 3),
+        pbx.reshape(-1, tile_block, NQUAD, 10),
+        pokm.reshape(-1, tile_block),
     )
     idmat, keepmat = jax.lax.map(block_cull, blocks)
     # keep idmat/keepmat PADDED to Tp rows: a [:T] slice copies the whole
@@ -1241,6 +1288,7 @@ def trace_rays(
     wet_zero: jnp.ndarray | None = None,
     compose_raw: bool = False,
     exact_order: bool = False,
+    probe: bool = True,
 ) -> TraceOutput:
     """Tiled Pallas tracer over an (H, W) ray grid.
 
@@ -1286,7 +1334,7 @@ def trace_rays(
         )
     gauss_idx, bounds, dropped_pairs = cull_and_sort(
         tiles, scene, radius3, per_tile_cap=K, total_pair_cap=total_pair_cap,
-        tile_mask=tile_mask,
+        tile_mask=tile_mask, probe=probe,
     )
     if exact_order:
         # eval-time exact per-ray blend order over the SAME candidate
@@ -1315,7 +1363,9 @@ def trace_rays(
         )
     packed = _pack_scene_table(scene)
     grad_wet = wet_zero is not None
-    fwd_needs = (needs[0], needs[1] and not grad_wet)
+    # preserve needs[2] (need_geo): the render path strips the normal/aux/
+    # depth accumulation rows from the kernel
+    fwd_needs = (needs[0], needs[1] and not grad_wet) + tuple(needs[2:3])
     wz = (jnp.pad(wet_zero, (0, 1)) if grad_wet
           else jnp.zeros((P + 1,), jnp.float32))
     tiles_out, wet_pairs = _gather_blend_trace(packed, gauss_idx, tiles.rays,

@@ -1,10 +1,11 @@
-"""Sweep the tracer plane-footprint sub-cone grid (ENVGS_TRACER_SUBT).
+"""Measure the bench frame at an env pair cap snugged to the tracer fill.
 
-For the current SUBT (env var, read by envgs_tpu.ops.tracer at import):
-probe the tracer fill at a loose cap, snug the cap to the fill (+headroom,
-64k-aligned), then time the full bench frame at the snug caps.
+Probes the tracer fill at a loose cap, snugs the cap to the fill
+(+headroom, 64k-aligned), then times the full bench frame at the snug
+caps. Used to size bench.py caps after cull changes (e.g. the
+direction-space footprint probe).
 
-Usage: ENVGS_TRACER_SUBT=N python scripts/tpu_sweep_subt.py
+Usage: python scripts/tpu_sweep_subt.py
 """
 import json
 import pathlib
@@ -19,7 +20,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from bench import make_render_scene  # noqa: E402
 from envgs_tpu.models.envgs import forward_envgs  # noqa: E402
-from envgs_tpu.ops import tracer  # noqa: E402
 
 
 def snug(fill: int) -> int:
@@ -51,7 +51,7 @@ def main():
     jax.block_until_ready(rgb)
     dt = (time.perf_counter() - t0) / n
     print(json.dumps({
-        "subt": tracer.SUBT, "fill": fill, "cap": cap,
+        "fill": fill, "cap": cap,
         "frame_ms": round(dt * 1000, 2), "fps": round(1.0 / dt, 2),
     }))
 
