@@ -47,8 +47,15 @@ from envgs_tpu.ops.tracer_ref import (
     trace_rays_reference,
 )
 
-RTILE = 16  # ray tile edge (RTILE^2 rays per tile)
-NRAY = RTILE * RTILE
+# ray tile shape: RTW x RTH rays per tile. 16x8 was tried and REJECTED:
+# the probed candidate fill ROSE 0.71M -> 1.4M slots (each tile's kept set
+# carries a ~rc/w-wide footprint halo that does not shrink with tile size,
+# every splat is tested in twice as many tiles, and the CHUNK=64 per-tile
+# alignment waste doubles) while the cull cost doubled with the tile
+# count. 16x16 stands.
+RTH = 16  # tile height in rays
+RTW = 16  # tile width in rays
+NRAY = RTH * RTW
 CHUNK = 64
 DPAD = 128  # 128-lane alignment for HBM DMA slices
 T_MIN = 1e-4  # minimum ray parameter (self-hit guard)
@@ -88,8 +95,8 @@ class RayTiles(NamedTuple):
     spread: jnp.ndarray  # (T,) origin spread radius
     n_tiles: int
     # direction-space probe (None -> refine footprint test disabled):
-    # an orthonormal frame perpendicular to `axis` plus, per 8x8 ray
-    # quadrant, gnomonic center/half-width boxes of the ACTUAL ray
+    # an orthonormal frame perpendicular to `axis` plus, per ray
+    # quadrant (RTH/2 x RTW/2 rays), gnomonic center/half-width boxes of the ACTUAL ray
     # directions and of the ray-origin offsets from the apex
     probe_frame: jnp.ndarray | None = None  # (T, 2, 3): ex, ey rows
     probe_box: jnp.ndarray | None = None
@@ -98,23 +105,23 @@ class RayTiles(NamedTuple):
 
 
 def build_ray_tiles(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayTiles:
-    """Group an (H, W) ray grid into RTILE x RTILE cones (H, W padded).
+    """Group an (H, W) ray grid into RTW x RTH cones (H, W padded).
 
     All per-ray math runs on (T, NRAY) component planes (NRAY = 256 on the
     lane axis) — the (T, NRAY, 3) layout puts the 3-vector on the lane
     axis at 3/128 utilisation and measured ~3x slower for the same pass
     count."""
     H, W = ray_o.shape[:2]
-    Hp = -(-H // RTILE) * RTILE
-    Wp = -(-W // RTILE) * RTILE
+    Hp = -(-H // RTH) * RTH
+    Wp = -(-W // RTW) * RTW
     od_stack = jnp.concatenate([ray_o, ray_d], axis=-1)  # (H, W, 6)
     od_stack = jnp.pad(od_stack, ((0, Hp - H), (0, Wp - W), (0, 0)),
                        mode="edge")
-    ty, tx = Hp // RTILE, Wp // RTILE
+    ty, tx = Hp // RTH, Wp // RTW
     T = ty * tx
     # one transpose: (H, W, 6) -> (T, 6, NRAY), also the kernel ray layout
     planes = (
-        od_stack.reshape(ty, RTILE, tx, RTILE, 6)
+        od_stack.reshape(ty, RTH, tx, RTW, 6)
         .transpose(0, 2, 4, 1, 3)
         .reshape(T, 6, NRAY)
     )
@@ -149,8 +156,8 @@ def build_ray_tiles(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayTiles:
     # ---- direction-space probe tables ----
     # Gnomonic projection of every ray direction onto the plane
     # perpendicular to `axis` (u = d.ex / d.axis, v = d.ey / d.axis), then
-    # a bounding box of the ACTUAL projected directions per 8x8 spatial
-    # ray quadrant, plus the matching boxes of the ray ORIGIN offsets from
+    # a bounding box of the ACTUAL projected directions per spatial ray
+    # quadrant (RTH/2 x RTW/2 rays), plus the matching boxes of the ray ORIGIN offsets from
     # the apex in the same frame (the candidate test shifts/widens the
     # direction box by the first-order origin terms). The refine-stage
     # test rejects a candidate when its projected-footprint ellipse misses
@@ -177,8 +184,8 @@ def build_ray_tiles(ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> RayTiles:
     ody = rox * eyx + roy * eyy + roz * eyz
     odz = rox * axx[:, None] + roy * axy[:, None] + roz * axz[:, None]
 
-    def quadrant(x, red):  # (T, NRAY) -> (T, NQUAD) reduced over 8x8 rays
-        return red(x.reshape(T, 2, RTILE // 2, 2, RTILE // 2), axis=(2, 4)
+    def quadrant(x, red):  # (T, NRAY) -> (T, NQUAD) per 2x2 spatial quadrant
+        return red(x.reshape(T, 2, RTH // 2, 2, RTW // 2), axis=(2, 4)
                    ).reshape(T, NQUAD)
 
     def cbox(x):  # center/half-width boxes per quadrant
@@ -1320,16 +1327,19 @@ def trace_rays(
     # per-tile hit budget: full P for small scenes, else capped (nearest-K).
     # 2048 measured visually lossless vs 4096 on the worst-case synthetic
     # dome (41.3 dB between the two renders; 1024 truncates visibly) at
-    # ~60% of the cull+blend cost.
+    # ~60% of the cull+blend cost. A chunk-level probe prefilter + Kc=16
+    # was tried and REJECTED: a tile's contributors span more than 16
+    # Morton chunks on the dome (fill collapsed 709K -> 146K, losing 95%
+    # of true contributors), and at Kc=32 the prefilter rejected nothing.
     K = per_tile_cap or min(-(-P // CHUNK) * CHUNK, 2048)
     tile_mask = None
     if ray_mask is not None:
-        Hp = -(-H // RTILE) * RTILE
-        Wp = -(-W // RTILE) * RTILE
+        Hp = -(-H // RTH) * RTH
+        Wp = -(-W // RTW) * RTW
         m = jnp.pad(ray_mask.astype(bool),
                     ((0, Hp - H), (0, Wp - W)), constant_values=False)
         tile_mask = (
-            m.reshape(Hp // RTILE, RTILE, Wp // RTILE, RTILE)
+            m.reshape(Hp // RTH, RTH, Wp // RTW, RTW)
             .transpose(0, 2, 1, 3).reshape(tiles.n_tiles, NRAY).any(axis=1)
         )
     gauss_idx, bounds, dropped_pairs = cull_and_sort(
@@ -1343,10 +1353,10 @@ def trace_rays(
         assert not compose_raw, "exact_order: eval path, no slab composition"
         assert wet_zero is None, "exact_order: eval path, no wet grad lane"
         te = _trace_tiles_exact(scene, tiles.rays, gauss_idx, bounds, K)
-        ty, tx = -(-H // RTILE), -(-W // RTILE)
-        img = te.reshape(ty, tx, 10 + A, RTILE, RTILE)
-        img = img.transpose(2, 0, 3, 1, 4).reshape(10 + A, ty * RTILE,
-                                                   tx * RTILE)[:, :H, :W]
+        ty, tx = -(-H // RTH), -(-W // RTW)
+        img = te.reshape(ty, tx, 10 + A, RTH, RTW)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(10 + A, ty * RTH,
+                                                   tx * RTW)[:, :H, :W]
         acc, trans = img[4], img[9]
         return TraceOutput(
             rgb=img[:3].transpose(1, 2, 0)
@@ -1373,11 +1383,11 @@ def trace_rays(
                                                fwd_needs)
 
     r = _rows(A)
-    ty = -(-H // RTILE)
-    tx = -(-W // RTILE)
+    ty = -(-H // RTH)
+    tx = -(-W // RTW)
     FPAD = tiles_out.shape[1]
-    img = tiles_out.reshape(ty, tx, FPAD, RTILE, RTILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(FPAD, ty * RTILE, tx * RTILE)
+    img = tiles_out.reshape(ty, tx, FPAD, RTH, RTW)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(FPAD, ty * RTH, tx * RTW)
     img = img[:, :H, :W]
 
     trans = img[r["trans"]]

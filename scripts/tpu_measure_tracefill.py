@@ -26,7 +26,8 @@ from envgs_tpu.models.envgs import render_base, reflect_rays  # noqa: E402
 from envgs_tpu.ops.common import ALPHA_MIN  # noqa: E402
 from envgs_tpu.ops.tracer import (  # noqa: E402
     NRAY,
-    RTILE,
+    RTH,
+    RTW,
     build_ray_tiles,
     cull_and_sort,
 )
@@ -105,14 +106,16 @@ def main():
         hit = (alpha >= ALPHA_MIN) & (t > 1e-4) & (jnp.abs(dn) >= 1e-9)
         hit = hit & validp[:, None]
         contrib_any = jnp.any(hit, axis=-1)
-        # subtile splits: ray index = yy*RTILE+xx
+        # subtile splits: ray index = yy*RTW+xx
         ridx = jnp.arange(NRAY)
-        xx = ridx % RTILE
-        yy = ridx // RTILE
-        halves_x = jnp.stack([xx < RTILE // 2, xx >= RTILE // 2])  # (2, NRAY)
+        xx = ridx % RTW
+        yy = ridx // RTW
+        halves_x = jnp.stack([xx < RTW // 2, xx >= RTW // 2])  # (2, NRAY)
         quads = jnp.stack([
-            (xx < 8) & (yy < 8), (xx >= 8) & (yy < 8),
-            (xx < 8) & (yy >= 8), (xx >= 8) & (yy >= 8),
+            (xx < RTW // 2) & (yy < RTH // 2),
+            (xx >= RTW // 2) & (yy < RTH // 2),
+            (xx < RTW // 2) & (yy >= RTH // 2),
+            (xx >= RTW // 2) & (yy >= RTH // 2),
         ])
         n_half = jnp.sum(
             jnp.any(hit[:, None, :] & halves_x[None], axis=-1), axis=-1)

@@ -49,7 +49,7 @@ K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
 cam = make_camera(H, W, K, np.eye(3, dtype=np.float32),
                   np.zeros(3, np.float32), 0.02, 100.0)
 cfg = EnvGSConfig(raster_backend="pallas", tracer_backend="tiled",
-                  pair_cap=2 ** 21, env_pair_cap=2 ** 21,
+                  pair_cap=1_179_648, env_pair_cap=786_432,
                   reflection_start_iter=0, render_mode=True)
 it = jnp.asarray(10)
 
@@ -97,25 +97,23 @@ from envgs_tpu.ops.raster_pallas import pack_rows
 scene = jax.jit(lambda e: prepare_trace_scene(
     e.params.xyz, e.params.rotation, e.get_scaling, e.get_opacity[:, 0],
     rng.random((P_ENV, 3)).astype(np.float32), active=e.stats.active))(env)
-tiles = jax.jit(tr.build_ray_tiles)(ro, rd)
+tiles = tr.build_ray_tiles(ro, rd)
 timeit(jax.jit(tr.build_ray_tiles), ro, rd, name="  build_ray_tiles")
 su = 1.0 / jnp.clip(jnp.linalg.norm(scene.t_u, axis=-1), 1e-12, None)
 sv = 1.0 / jnp.clip(jnp.linalg.norm(scene.t_v, axis=-1), 1e-12, None)
 radius3 = 3.0 * jnp.maximum(su, sv)
 NT = int(tiles.n_tiles)
-cull_fn = jax.jit(lambda rays, ap, ax, th, sp, s, r: tr.cull_and_sort(
-    tr.RayTiles(rays, ap, ax, th, sp, NT), s, r,
-    per_tile_cap=2048, total_pair_cap=2 ** 21))
+cull_fn = jax.jit(lambda s, r: tr.cull_and_sort(
+    tiles, s, r, per_tile_cap=2048, total_pair_cap=786_432))
 gauss_idx, bounds, _ = timeit(
-    cull_fn, tiles.rays, tiles.apex, tiles.axis, tiles.tan_half,
-    tiles.spread, scene, radius3, name="  cull_and_sort")
+    cull_fn, scene, radius3, name="  cull_and_sort")
 print("    env pairs:", int(bounds[-1]), "/", gauss_idx.shape[0])
 table_fn = jax.jit(lambda s: pack_rows(tr._pack_scene_table(s)))
 packed16 = timeit(table_fn, scene, name="  pack env table")
 gather_fn = jax.jit(lambda t, i: t[i])
 pd16 = timeit(gather_fn, packed16, gauss_idx, name="  env pair gather")
 fwd_fn = jax.jit(lambda p, r, b: tr._trace_fwd_call(
-    p, r, b, 0, False, needs=(False, False)))
+    p, r, b, 0, False, needs=(False, False, False)))
 timeit(fwd_fn, pd16, tiles.rays, bounds, name="  env blend fwd (stripped)")
 
 # raster render-mode stage split
