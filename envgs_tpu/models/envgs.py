@@ -116,38 +116,53 @@ def render_base(
     cfg: EnvGSConfig,
     means2d_zero: jnp.ndarray | None = None,
     wet_zero: jnp.ndarray | None = None,
+    band: tuple | None = None,
 ) -> RenderOutput:
     """Rasterize the base (diffuse+specular-mask) Gaussian set.
 
     wet_zero (P,) zeros: per-splat wet arrives as d(loss)/d(wet_zero)
-    (means2d_zero trick); RenderOutput.wet is then exact zeros."""
+    (means2d_zero trick); RenderOutput.wet is then exact zeros.
+
+    band = (row0 traced, H_full static): render rows [row0, row0+cam.H) of
+    the FULL H_full-row image whose intrinsics cam.K holds (row-crop
+    contract: bit-identical to the matching rows of a full render — see
+    rasterize(row_window))."""
     colors = _pool_colors(pool, cam.center)
     if cfg.render_reflection:
         colors = jnp.concatenate(
             [colors, pool.get_specular, pool.get_roughness], axis=-1
         )
+    row_window = None
+    cam_proj = cam
+    if band is not None:
+        row0, H_full = band[0], band[1]
+        row_window = (row0, cam.H)
+        cam_proj = Camera(H_full, cam.W, cam.K, cam.R, cam.T,
+                         cam.znear, cam.zfar)
     prep = prepare_splats(
         pool.params.xyz,
         pool.params.rotation,
         pool.get_scaling,
         pool.get_opacity[:, 0],
         colors,
-        cam,
+        cam_proj,
         scale_modifier=cfg.scale_modifier,
         active=pool.stats.active,
     )
     bg = jnp.full((3,), cfg.bg_brightness, jnp.float32)
     train = not cfg.render_mode
     out = rasterize(
-        prep, cam, bg, backend=cfg.raster_backend, pair_cap=cfg.pair_cap,
-        means2d_zero=means2d_zero,
+        prep, cam_proj, bg, backend=cfg.raster_backend,
+        pair_cap=cfg.pair_cap, means2d_zero=means2d_zero,
         needs=(train, train or cfg.depth_ratio > 0, train),
         wet_zero=wet_zero if cfg.raster_backend != "ref" else None,
+        row_window=row_window,
     )
     return render_decode(
         out, cam,
         specular_channels=cfg.specular_channels if cfg.render_reflection else 0,
         depth_ratio=cfg.depth_ratio,
+        i0=None if band is None else band[0],
     )
 
 
@@ -157,6 +172,7 @@ def render_base_traced(
     cfg: EnvGSConfig,
     means3d_zero: jnp.ndarray | None = None,
     wet_zero: jnp.ndarray | None = None,
+    band: tuple | None = None,
 ) -> RenderOutput:
     """Base pass via the surfel tracer on camera rays (use_base_tracing).
 
@@ -183,7 +199,8 @@ def render_base_traced(
         active=pool.stats.active,
         scale_modifier=cfg.scale_modifier,
     )
-    o, d = get_rays(cam, z_depth=True)
+    i0 = None if band is None else band[0]
+    o, d = get_rays(cam, z_depth=True, i0=i0)
     ray_o = jnp.broadcast_to(o[None, None, :], d.shape)
     bg = jnp.full((3,), cfg.bg_brightness, jnp.float32)
     if cfg.tracer_backend == "ref":
@@ -196,9 +213,13 @@ def render_base_traced(
                               needs=(train, train), wet_zero=wet_zero,
                               exact_order=cfg.tracer_exact_order)
     # in-frustum projection visibility (optix_utils.py:203-213)
+    cam_proj = cam
+    if band is not None:
+        cam_proj = Camera(band[1], cam.W, cam.K, cam.R, cam.T,
+                          cam.znear, cam.zfar)
     prep = prepare_splats(
         xyz, pool.params.rotation, pool.get_scaling, pool.get_opacity[:, 0],
-        colors, cam, scale_modifier=cfg.scale_modifier,
+        colors, cam_proj, scale_modifier=cfg.scale_modifier,
         active=pool.stats.active,
     )
     S = cfg.specular_channels if cfg.render_reflection else 0
@@ -206,7 +227,7 @@ def render_base_traced(
     rough = t.aux[..., S:S + 1] if S else None
     alpha = t.acc[..., None]
     depth = t.dpt[..., None]
-    surf_normal = depth_to_normal(cam, depth[..., 0])
+    surf_normal = depth_to_normal(cam, depth[..., 0], i0=i0)
     surf_normal = surf_normal * jax.lax.stop_gradient(alpha)
     return RenderOutput(
         rgb=t.rgb,
@@ -225,9 +246,9 @@ def render_base_traced(
     )
 
 
-def reflect_rays(cam: Camera, base: RenderOutput):
+def reflect_rays(cam: Camera, base: RenderOutput, i0=None):
     """Reflected ray grid from the base pass (envgs_sampler.py:420-455)."""
-    o, d = get_rays(cam, z_depth=True)  # d NOT normalized (z-depth param)
+    o, d = get_rays(cam, z_depth=True, i0=i0)  # d NOT normalized (z-depth)
     n = normalize(base.normal_world)
     ref_d = reflect(d, n)
     ref_o = o[None, None, :] + d * base.surf_depth
@@ -242,12 +263,13 @@ def render_env(
     env_means3d_zero: jnp.ndarray | None = None,
     ray_mask: jnp.ndarray | None = None,
     wet_zero: jnp.ndarray | None = None,
+    band_axis: str | None = None,
 ):
     """Trace the environment Gaussian set along reflected rays."""
     xyz = env.params.xyz
     if env_means3d_zero is not None:
         xyz = xyz + env_means3d_zero
-    colors = _pool_colors_at(env, ref_o)
+    colors = _pool_colors_at(env, ref_o, band_axis=band_axis)
     aux = None
     if cfg.max_trace_depth > 0:
         # recursive bounces need the env set's own specular/roughness
@@ -284,13 +306,29 @@ def render_env(
                              exact_order=cfg.tracer_exact_order)
 
 
-def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray) -> jnp.ndarray:
+def _pool_colors_at(pool: GaussianPool, ref_o: jnp.ndarray,
+                    band_axis: str | None = None) -> jnp.ndarray:
     """Env SH colors; view direction approximated from the mean ray origin
     (the tracer evaluates SH per-splat like the rasterizer; the reference
     tracer evaluates per-splat SH along the hit direction in-kernel — for
     far-field environment Gaussians the mean-origin direction is the
-    standard approximation)."""
-    origin = jnp.mean(ref_o.reshape(-1, 3), axis=0)
+    standard approximation).
+
+    The mean is computed hierarchically over 16-row blocks so a band-
+    parallel run (band_axis set: all_gather the block means over the mesh
+    axis) produces the bit-identical IMAGE-global origin — the per-block
+    reductions and the final (H/16, 3) reduction run on the same values
+    and shapes on every path."""
+    Hb, W = ref_o.shape[0], ref_o.shape[1]
+    if Hb % 16 != 0:
+        # non-tile-aligned H: flat mean (band decomposition requires
+        # 16-row-aligned bands, so this is always a single-image call)
+        assert band_axis is None, (Hb, band_axis)
+        return _pool_colors(pool, jnp.mean(ref_o.reshape(-1, 3), axis=0))
+    bm = jnp.mean(ref_o.reshape(Hb // 16, 16 * W, 3), axis=1)  # (nb, 3)
+    if band_axis is not None:
+        bm = jax.lax.all_gather(bm, band_axis, tiled=True)
+    origin = jnp.mean(bm, axis=0)
     return _pool_colors(pool, origin)
 
 
@@ -335,6 +373,7 @@ def forward_envgs(
     env_wet_zero: jnp.ndarray | None = None,
     base_pass=None,
     env_pass=None,
+    band: tuple | None = None,
 ) -> EnvGSOutput:
     """wet_zero / env_wet_zero: (P,)/(Pe,) zeros hooks — when given, the
     per-splat accumulated blend weights arrive as their COTANGENTS (the
@@ -344,19 +383,26 @@ def forward_envgs(
     base_pass / env_pass: injectable replacements for the two render passes
     (same signatures as render_base / render_env) — the splat-slab
     model-parallel path (parallel/splat_sharding.py) supplies slab-sharded
-    versions while every composite/filter/gate stage here stays shared."""
+    versions while every composite/filter/gate stage here stays shared.
+
+    band = (row0 traced, H_full static): this call renders rows
+    [row0, row0+cam.H) of an H_full-row image; cam carries the FULL-image
+    intrinsics (band-parallel row-crop contract — the band output is
+    bit-identical to the matching rows of the full render)."""
+    i0 = None if band is None else band[0]
     if base_pass is not None:
         b = base_pass(base, cam, cfg, means2d_zero, wet_zero=wet_zero)
     elif cfg.use_base_tracing:
         b = render_base_traced(base, cam, cfg, means2d_zero,
-                               wet_zero=wet_zero)
+                               wet_zero=wet_zero, band=band)
     else:
-        b = render_base(base, cam, cfg, means2d_zero, wet_zero=wet_zero)
+        b = render_base(base, cam, cfg, means2d_zero, wet_zero=wet_zero,
+                        band=band)
     H, W = cam.H, cam.W
     spec = b.specular if b.specular is not None else jnp.zeros((H, W, 1))
     rough = b.roughness if b.roughness is not None else jnp.zeros((H, W, 1))
 
-    ref_o, ref_d = reflect_rays(cam, b)
+    ref_o, ref_d = reflect_rays(cam, b, i0=i0)
     if cfg.detach_reflection:
         ref_o = jax.lax.stop_gradient(ref_o)
         ref_d = jax.lax.stop_gradient(ref_d)
@@ -392,9 +438,14 @@ def forward_envgs(
             ref_msk = jnp.where(gate, msk, jnp.ones_like(msk))
 
     def with_env(_):
-        ep = env_pass if env_pass is not None else render_env
-        e = ep(env, ref_o, ref_d, cfg, env_means3d_zero,
-               ray_mask=ref_msk, wet_zero=env_wet_zero)
+        if env_pass is not None:
+            e = env_pass(env, ref_o, ref_d, cfg, env_means3d_zero,
+                         ray_mask=ref_msk, wet_zero=env_wet_zero)
+        else:
+            e = render_env(env, ref_o, ref_d, cfg, env_means3d_zero,
+                           ray_mask=ref_msk, wet_zero=env_wet_zero,
+                           band_axis=band[2] if band is not None
+                           and len(band) > 2 else None)
         dp = (e.dropped_pairs if e.dropped_pairs is not None
               else jnp.asarray(0, jnp.int32))
         npair = (e.num_pairs if e.num_pairs is not None

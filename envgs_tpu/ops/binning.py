@@ -103,7 +103,7 @@ def tile_stable_sort(tid: jnp.ndarray, gid: jnp.ndarray, num_tiles: int,
 def bin_splats(
     prep: PreparedSplats, H: int, W: int, tile: int, pair_cap: int,
     align: int = 64, interpret: bool = False, lowpass_r: float = 0.0,
-    aligned: bool = True,
+    aligned: bool = True, row_window=None,
 ) -> BinnedPairs:
     """Expand splats into (splat, tile) pairs sorted by (tile, depth), each
     tile's range padded to a multiple of `align` (padding -> sentinel P).
@@ -113,8 +113,18 @@ def bin_splats(
     ellipse, union the lowpass circle when lowpass_r > 0) are retargeted to
     the sentinel tile before the sort — they sort past every real tile, so
     blend/gather work drops with NO output change (those pixels are below
-    the 1/255 alpha floor by construction)."""
-    tx_n, ty_n = tile_dims(H, W, tile)
+    the 1/255 alpha floor by construction).
+
+    row_window = (ty0 traced tile-row offset, n_tile_rows static): bin only
+    the tiles of one horizontal image band, with tile ids band-LOCAL (the
+    band-parallel row-crop path: `prep` comes from the FULL camera so every
+    float is bit-identical to single-chip; the banding is integer tile
+    arithmetic only)."""
+    tx_n, ty_full = tile_dims(H, W, tile)
+    if row_window is None:
+        ty0, ty_n = None, ty_full
+    else:
+        ty0, ty_n = row_window
     num_tiles = tx_n * ty_n
     P = prep.depth.shape[0]
     pair_cap = _round_up(pair_cap, _ALIGN_N)
@@ -143,10 +153,14 @@ def bin_splats(
 
     x0 = jnp.clip(jnp.floor((cx - rx) / tile), 0, tx_n - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((cx + rx) / tile), 0, tx_n - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((cy - ry) / tile), 0, ty_n - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((cy + ry) / tile), 0, ty_n - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cy - ry) / tile), 0, ty_full - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cy + ry) / tile), 0, ty_full - 1).astype(jnp.int32)
+    if ty0 is not None:
+        # clip the tile-row span to the band window (band-local rows)
+        y0 = jnp.maximum(y0, ty0) - ty0
+        y1 = jnp.minimum(y1, ty0 + ty_n - 1) - ty0
     nx = jnp.where(valid, x1 - x0 + 1, 0)
-    ny = jnp.where(valid, y1 - y0 + 1, 0)
+    ny = jnp.where(valid & (y1 >= y0), y1 - y0 + 1, 0)
     counts = nx * ny
     ends = jnp.cumsum(counts)
     starts = ends - counts
@@ -195,7 +209,8 @@ def bin_splats(
             filled_rows[:, i], jnp.float32)
         ctr = jnp.stack([f32(3), f32(4)], axis=-1)
         rc = jnp.stack([f32(5 + i) for i in range(6)], axis=-1)
-        yb0 = (ty_s * tile).astype(jnp.float32)
+        ty_glob = ty_s if ty0 is None else ty_s + ty0
+        yb0 = (ty_glob * tile).astype(jnp.float32)
         yb1 = yb0 + (tile - 1)
         x_lo, x_hi = snug_row_interval(ctr, rc, yb0, yb1, lowpass_r)
         xt_f = xt_s.astype(jnp.float32) * tile

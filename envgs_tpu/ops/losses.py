@@ -167,6 +167,74 @@ def _ssim_bwd(win_size, sigma, max_val, res, g):
 ssim.defvjp(_ssim_fwd, _ssim_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ssim_masked(x, y, row_mask, n_global, win_size: int = 11,
+                sigma: float = 1.5, max_val: float = 1.0):
+    """This device's SHARE of a global SSIM mean (band-parallel SSIM).
+
+    x/y are the band rows EXTENDED by the halo rows exchanged from the
+    neighbor bands (win_size//2 rows per side), so every window that exists
+    in the full image is computed by exactly one band. row_mask
+    (H_valid, 1, 1) selects the windows this band owns (zeroing the rows a
+    global image would not have), n_global is the full image's valid-window
+    element count; psum of the returned shares over the band axis equals
+    the single-image ssim() exactly."""
+    win = _gaussian_window(win_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    fields = _ssim_fields(x, y, win)
+    mu_x, mu_y, exx, eyy, exy = fields
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sx, sy, sxy = exx - mu_x2, eyy - mu_y2, exy - mu_xy
+    num = (2 * mu_xy + C1) * (2 * sxy + C2)
+    den = (mu_x2 + mu_y2 + C1) * (sx + sy + C2)
+    return jnp.sum(num / den * row_mask) / n_global
+
+
+def _ssim_masked_fwd(x, y, row_mask, n_global, win_size, sigma, max_val):
+    out = ssim_masked(x, y, row_mask, n_global, win_size, sigma, max_val)
+    return out, (x, y, row_mask)
+
+
+def _ssim_masked_bwd(n_global, win_size, sigma, max_val, res, g):
+    """The ssim() closed-form backward with the per-row mask weight."""
+    x, y, row_mask = res
+    win = _gaussian_window(win_size, sigma)
+    C1 = (0.01 * max_val) ** 2
+    C2 = (0.03 * max_val) ** 2
+    mu_x, mu_y, exx, eyy, exy = _ssim_fields(x, y, win)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sx, sy, sxy = exx - mu_x2, eyy - mu_y2, exy - mu_xy
+    A = 2 * mu_xy + C1
+    B = 2 * sxy + C2
+    D = mu_x2 + mu_y2 + C1
+    E = sx + sy + C2
+    inv_DE = 1.0 / (D * E)
+    S = A * B * inv_DE
+    w = g * row_mask / n_global
+
+    d_exx = -S / E * w
+    d_eyy = -S / E * w
+    d_exy = 2 * A * inv_DE * w
+    d_mu_x = (2 * mu_y * (B - A) * inv_DE + 2 * mu_x * S * (1 / E - 1 / D)) * w
+    d_mu_y = (2 * mu_x * (B - A) * inv_DE + 2 * mu_y * S * (1 / E - 1 / D)) * w
+
+    k = win_size - 1
+    t = jnp.concatenate([d_mu_x, d_mu_y, d_exx, d_eyy, d_exy], axis=-1)
+    t = jnp.pad(t, ((k, k), (k, k), (0, 0)))
+    t = _filter2d_sep(t, win[::-1])
+    C = x.shape[-1]
+    t_mu_x, t_mu_y, t_exx, t_eyy, t_exy = (
+        t[..., i * C:(i + 1) * C] for i in range(5)
+    )
+    dx = t_mu_x + 2 * x * t_exx + y * t_exy
+    dy = t_mu_y + 2 * y * t_eyy + x * t_exy
+    return dx, dy, None
+
+
+ssim_masked.defvjp(_ssim_masked_fwd, _ssim_masked_bwd)
+
+
 def msssim(x, y, win_size: int = 11, levels: int = 5):
     """Multi-scale SSIM with the standard level weights.
 

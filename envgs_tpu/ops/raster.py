@@ -96,6 +96,7 @@ def rasterize(
     means2d_zero: jnp.ndarray | None = None,
     needs: tuple = (True, True, True),
     wet_zero: jnp.ndarray | None = None,
+    row_window: tuple | None = None,
 ) -> RasterOutput:
     """Rasterize prepared splats into the reference's raw output maps.
 
@@ -106,7 +107,13 @@ def rasterize(
     wet_zero (P,) zeros: when given, per-splat wet is delivered as
     d(loss)/d(wet_zero) by the blend backward (the means2d_zero trick —
     see rp.gather_blend_tiles) and the forward's wet pipeline is stripped;
-    RasterOutput.wet is then exact zeros."""
+    RasterOutput.wet is then exact zeros.
+
+    row_window = (row0 traced pixel-row offset, band_h static): rasterize
+    only the horizontal band [row0, row0+band_h) of cam's FULL pixel grid —
+    prep/binning floats are the full-camera values and the band selection
+    is integer tile arithmetic, so the band output is bit-identical to the
+    matching rows of a full render (band-parallel row-crop contract)."""
     if backend == "ref":
         prep = _shift_tmat(prep, means2d_zero)
         return rasterize_reference(prep, cam, bg_color)
@@ -118,6 +125,18 @@ def rasterize(
     Hp = -(-H // rp.TILE) * rp.TILE
     Wp = -(-W // rp.TILE) * rp.TILE
     tiles_x, tiles_y = tile_dims(Hp, Wp, rp.TILE)
+    if row_window is not None:
+        row0, band_h = row_window
+        assert band_h % rp.TILE == 0 and Hp == H, (row_window, H)
+        ty0 = row0 // rp.TILE
+        tiles_y = band_h // rp.TILE
+        H_out = band_h
+        bin_window = (ty0, tiles_y)
+        row_off = row0
+    else:
+        H_out = H
+        bin_window = None
+        row_off = jnp.zeros((), jnp.int32)
 
     # wet rows need the chunk-aligned pair layout; pure-render calls skip
     # the alignment stage entirely (unaligned bounds + kernel tail masking).
@@ -129,7 +148,7 @@ def rasterize(
     fwd_needs = (needs[0], needs[1], needs[2] and not grad_wet)
     bins = bin_splats(prep, H, W, rp.TILE, pair_cap, align=rp.CHUNK,
                       interpret=interpret, lowpass_r=ROWCULL_LOWPASS_R,
-                      aligned=aligned)
+                      aligned=aligned, row_window=bin_window)
     packed = _pack_table(prep, bins.order)
     dummy = jnp.zeros((1,), jnp.int32)
     P = prep.depth.shape[0]
@@ -148,7 +167,7 @@ def rasterize(
         packed, bins.gauss_idx, bins.tile_bounds,
         bins.pre_idx if aligned else dummy,
         bins.seg_starts if aligned else dummy,
-        bins.seg_counts if aligned else dummy, wz,
+        bins.seg_counts if aligned else dummy, wz, row_off,
         C, tiles_x, interpret, "surfel", fwd_needs, aligned, bins.pre_cap,
     )
 
@@ -156,7 +175,8 @@ def rasterize(
     r = rp._rows(C)
     FPAD = tiles_out.shape[1]
     img = tiles_out.reshape(tiles_y, tiles_x, FPAD, rp.TILE, rp.TILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(FPAD, Hp, Wp)[:, :H, :W]
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        FPAD, tiles_y * rp.TILE, Wp)[:, :H_out, :W]
 
     trans = img[r["trans"]]
     bg = jnp.zeros((C,), jnp.float32).at[: bg_color.shape[0]].set(bg_color)
@@ -210,12 +230,21 @@ class RenderOutput(NamedTuple):
     num_pairs: jnp.ndarray | None = None  # () pre-clamp pair count (raster)
 
 
-def depth_to_normal(cam: Camera, depth: jnp.ndarray) -> jnp.ndarray:
+def depth_to_normal(cam: Camera, depth: jnp.ndarray,
+                    i0=None) -> jnp.ndarray:
     """Pseudo surface normal from a z-depth map (dpt2norm semantics,
     gaussian2d_utils.py:1190-1206): cross of central differences of the
-    backprojected point map, zero on the 1px border."""
+    backprojected point map, zero on the 1px border.
+
+    i0: global row index of depth row 0 (band-parallel halo recompute —
+    pass the UNSHIFTED full-image K in `cam` and the band's global row
+    offset here, so every pixel ray is bit-identical to the single-chip
+    computation; a band-shifted K changes inv(K) rounding and the
+    normalized cross product amplifies that noise)."""
     H, W = cam.H, cam.W
     i = jnp.arange(H, dtype=jnp.float32)
+    if i0 is not None:
+        i = i + i0
     j = jnp.arange(W, dtype=jnp.float32)
     jj, ii = jnp.meshgrid(j, i)
     pix = jnp.stack([jj, ii, jnp.ones_like(ii)], -1)
@@ -238,8 +267,14 @@ def render_decode(
     cam: Camera,
     specular_channels: int = 0,
     depth_ratio: float = 0.0,
+    i0=None,
 ) -> RenderOutput:
-    """Decode raw maps into the reference's post-processed products."""
+    """Decode raw maps into the reference's post-processed products.
+
+    i0: global pixel-row offset (band row-crop: cam holds the full-image K
+    with H = the band height; the depth-derived surface normal then uses
+    global pixel rows — band-boundary rows still read the local zero
+    border and are replaced by the haloed recompute in the band loss)."""
     C = out.rgb.shape[-1]
     rgb = out.rgb[..., :3]
     spec = rough = None
@@ -253,7 +288,7 @@ def render_decode(
     ))[..., None]
     depth_m = jnp.nan_to_num(out.depth_median)[..., None]
     surf_depth = depth_e * (1.0 - depth_ratio) + depth_m * depth_ratio
-    surf_normal = depth_to_normal(cam, surf_depth[..., 0])
+    surf_normal = depth_to_normal(cam, surf_depth[..., 0], i0=i0)
     surf_normal = surf_normal * jax.lax.stop_gradient(alpha)
     return RenderOutput(
         rgb=rgb,

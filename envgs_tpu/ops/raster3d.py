@@ -89,7 +89,8 @@ def rasterize3d(
     tiles_out, wet_pairs = rp.gather_blend_tiles(
         packed, bins.gauss_idx, bins.tile_bounds, bins.pre_idx,
         bins.seg_starts, bins.seg_counts,
-        jnp.zeros((packed.shape[0],), jnp.float32), C, tiles_x, interpret,
+        jnp.zeros((packed.shape[0],), jnp.float32),
+        jnp.zeros((), jnp.int32), C, tiles_x, interpret,
         "gauss3d", (True, True, True), True, bins.pre_cap,
     )
 

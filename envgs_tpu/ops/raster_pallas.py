@@ -144,13 +144,17 @@ def _prod_sublane(x, S):
     return x
 
 
-def _pixel_coords(t, tiles_x):
-    """Pixel centers of tile t as (1, NPIX) rows (integer-coord convention)."""
+def _pixel_coords(t, tiles_x, py_off=0):
+    """Pixel centers of tile t as (1, NPIX) rows (integer-coord convention).
+
+    py_off: global pixel-row offset of tile row 0 (band-parallel row-crop
+    rendering: the band blends its own tiles but at GLOBAL pixel coords so
+    every float product is bit-identical to the single-chip render)."""
     tx = jax.lax.rem(t, tiles_x)
     ty = jax.lax.div(t, tiles_x)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
     px = (tx * TILE + jax.lax.rem(lane, TILE)).astype(jnp.float32)
-    py = (ty * TILE + jax.lax.div(lane, TILE)).astype(jnp.float32)
+    py = (ty * TILE + py_off + jax.lax.div(lane, TILE)).astype(jnp.float32)
     return px, py
 
 
@@ -234,8 +238,8 @@ def _dmap_dz(z):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
-                pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued,
+def _fwd_kernel(C, tiles_x, bounds_ref, roff_ref, pair_ref, acc_ref,
+                wet_ref, pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued,
                 mode="surfel", need_dist=True, need_med=True, need_wet=True,
                 aligned=True, skip_dma=True):
     r = _rows(C)
@@ -254,7 +258,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
         # into the next tile's data.
         s8 = jax.lax.rem(start, 8)
         nchunks = jax.lax.div(end - start + s8 + (CHUNK - 1), CHUNK)
-    px, py = _pixel_coords(t, tiles_x)
+    px, py = _pixel_coords(t, tiles_x, roff_ref[0])
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     acc_ref[r["last"]:r["last"] + 1, :] = jnp.full((1, NPIX), -1.0)
@@ -449,7 +453,7 @@ def _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, acc_ref, wet_ref,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
+def _bwd_kernel(C, tiles_x, bounds_ref, roff_ref, pair_ref, res_ref, g_ref,
                 gpair_ref, pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g,
                 mode="surfel", emit_wet=False):
     """Reverse walk emitting per-pair gradients.
@@ -464,7 +468,7 @@ def _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref, g_ref,
     t = pl.program_id(0)
     start = bounds_ref[t]
     end = bounds_ref[t + 1]
-    px, py = _pixel_coords(t, tiles_x)
+    px, py = _pixel_coords(t, tiles_x, roff_ref[0])
 
     A_tot = res_ref[r["alpha"]:r["alpha"] + 1, :]
     D1_tot = res_ref[r["d1"]:r["d1"] + 1, :]
@@ -728,7 +732,7 @@ def _to_rows(pair_data):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
-                mode="surfel", needs=(True, True, True)):
+                mode="surfel", needs=(True, True, True), row_off=None):
     """pair_data (CAP, DPAD) f32 logical, tile_bounds (T+1,) ->
     (tiles (T, FPAD, NPIX), wet (CAP,)). The kernels consume f32 pair rows;
     gradients come back f32 in the same logical layout.
@@ -744,20 +748,23 @@ def blend_tiles(pair_data, tile_bounds, C, tiles_x, interpret,
 
 def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
                     mode="surfel", needs=(True, True, True), aligned=True,
-                    skip_dma=True):
+                    skip_dma=True, row_off=None):
     need_dist, need_med, need_wet = needs
     assert aligned or not need_wet, (
         "wet rows require the chunk-aligned pair layout")
+    if row_off is None:
+        row_off = jnp.zeros((), jnp.int32)
+    roff = jnp.asarray(row_off, jnp.int32).reshape(1)
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
     FPAD = _fpad(C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
-                (1, FPAD, NPIX), lambda t, b: (t, 0, 0),
+                (1, FPAD, NPIX), lambda t, b, r: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -772,10 +779,11 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
         ],
     )
 
-    def kernel(bounds_ref, pair_ref, out_ref, wet_ref, pair_vmem, wet_vmem,
-               tcur, sem_p, sem_w, issued):
-        _fwd_kernel(C, tiles_x, bounds_ref, pair_ref, out_ref.at[0], wet_ref,
-                    pair_vmem, wet_vmem, tcur, sem_p, sem_w, issued, mode,
+    def kernel(bounds_ref, roff_ref, pair_ref, out_ref, wet_ref, pair_vmem,
+               wet_vmem, tcur, sem_p, sem_w, issued):
+        _fwd_kernel(C, tiles_x, bounds_ref, roff_ref, pair_ref,
+                    out_ref.at[0], wet_ref, pair_vmem, wet_vmem, tcur,
+                    sem_p, sem_w, issued, mode,
                     need_dist, need_med, need_wet, aligned,
                     skip_dma=skip_dma)
 
@@ -788,7 +796,7 @@ def _blend_fwd_call(pair_data, tile_bounds, C, tiles_x, interpret,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_bounds, pair_data)
+    )(tile_bounds, roff, pair_data)
     if not need_wet:  # buffer never written; replace with exact zeros
         return tiles_out, jnp.zeros((cap,), jnp.float32)
     return tiles_out, wet[:, :CHUNK].reshape(cap)
@@ -805,23 +813,26 @@ def _blend_fwd(pair_data, tile_bounds, C, tiles_x, interpret,
 def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents,
                emit_wet=False):
     del needs  # forward-for-vjp ran with everything on
-    pair_data, tile_bounds, tiles_out = residuals
+    pair_data, tile_bounds, row_off, tiles_out = residuals
     pair_data = _to_rows(pair_data)
     g_tiles, _g_wet = cotangents  # wet is treated as non-differentiable
+    if row_off is None:
+        row_off = jnp.zeros((), jnp.int32)
+    roff = jnp.asarray(row_off, jnp.int32).reshape(1)
     cap = pair_data.shape[0]
     num_tiles = tile_bounds.shape[0] - 1
     FPAD = _fpad(C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, FPAD, NPIX), lambda t, b: (t, 0, 0),
+                (1, FPAD, NPIX), lambda t, b, r: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, FPAD, NPIX), lambda t, b: (t, 0, 0),
+                (1, FPAD, NPIX), lambda t, b, r: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -836,11 +847,12 @@ def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents,
         ],
     )
 
-    def kernel(bounds_ref, pair_ref, res_ref, g_ref, gpair_ref, pair_vmem,
-               gp_vmem, tcur, suf, sem_p, sem_g):
-        _bwd_kernel(C, tiles_x, bounds_ref, pair_ref, res_ref.at[0],
-                    g_ref.at[0], gpair_ref, pair_vmem, gp_vmem, tcur, suf,
-                    sem_p, sem_g, mode, emit_wet=emit_wet)
+    def kernel(bounds_ref, roff_ref, pair_ref, res_ref, g_ref, gpair_ref,
+               pair_vmem, gp_vmem, tcur, suf, sem_p, sem_g):
+        _bwd_kernel(C, tiles_x, bounds_ref, roff_ref, pair_ref,
+                    res_ref.at[0], g_ref.at[0], gpair_ref, pair_vmem,
+                    gp_vmem, tcur, suf, sem_p, sem_g, mode,
+                    emit_wet=emit_wet)
 
     g_pair = pl.pallas_call(
         kernel,
@@ -848,8 +860,8 @@ def _blend_bwd(C, tiles_x, interpret, mode, needs, residuals, cotangents,
         out_shape=[jax.ShapeDtypeStruct((cap, DPAD), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_bounds, pair_data, tiles_out, g_tiles)[0]
-    return g_pair, None
+    )(tile_bounds, roff, pair_data, tiles_out, g_tiles)[0]
+    return g_pair, None, None
 
 
 blend_tiles.defvjp(_blend_fwd, _blend_bwd)
@@ -860,9 +872,9 @@ blend_tiles.defvjp(_blend_fwd, _blend_bwd)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
-                       seg_counts, wet_zero, C, tiles_x, interpret,
+                       seg_counts, wet_zero, row_off, C, tiles_x, interpret,
                        mode="surfel", needs=(True, True, True), aligned=True,
                        pre_cap=0):
     """packed (S, <=LO) f32 logical table, gauss_idx (CAP,) with sentinel
@@ -892,11 +904,11 @@ def gather_blend_tiles(packed, gauss_idx, tile_bounds, pre_idx, seg_starts,
     packedp = jax.lax.optimization_barrier(pack_rows(packed))
     pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
     return _blend_fwd_call(pairs, tile_bounds, C, tiles_x, interpret, mode,
-                           needs, aligned, skip_dma=True)
+                           needs, aligned, skip_dma=True, row_off=row_off)
 
 
 def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,
-             wet_zero, C, tiles_x, interpret,
+             wet_zero, row_off, C, tiles_x, interpret,
              mode="surfel", needs=(True, True, True), aligned=True,
              pre_cap=0):
     del wet_zero
@@ -907,19 +919,19 @@ def _gbt_fwd(packed, gauss_idx, tile_bounds, pre_idx, seg_starts, seg_counts,
     packedp = jax.lax.optimization_barrier(pack_rows(packed))
     pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
     out = _blend_fwd_call(pairs, tile_bounds, C, tiles_x, interpret, mode,
-                          needs)
-    return out, (pairs, tile_bounds, pre_idx, seg_starts, seg_counts,
-                 out[0], packed.shape)
+                          needs, row_off=row_off)
+    return out, (pairs, tile_bounds, row_off, pre_idx, seg_starts,
+                 seg_counts, out[0], packed.shape)
 
 
 def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, pre_cap, residuals,
              cotangents):
     del aligned  # asserted True in _gbt_fwd
-    (pairs, tile_bounds, pre_idx, seg_starts, seg_counts, tiles_out,
-     pshape) = residuals
+    (pairs, tile_bounds, row_off, pre_idx, seg_starts, seg_counts,
+     tiles_out, pshape) = residuals
     g_pair = _blend_bwd(C, tiles_x, interpret, mode, needs,
-                        (pairs, tile_bounds, tiles_out), cotangents,
-                        emit_wet=True)[0]
+                        (pairs, tile_bounds, row_off, tiles_out),
+                        cotangents, emit_wet=True)[0]
     from envgs_tpu.ops.segsum import presort_transpose
 
     g_packed = presort_transpose(g_pair, pre_idx, seg_starts, seg_counts,
@@ -927,7 +939,7 @@ def _gbt_bwd(C, tiles_x, interpret, mode, needs, aligned, pre_cap, residuals,
     # per-splat wet rides lane WET_COL of the transposed grads; the packed
     # table's pad-VJP slices it off the packed cotangent downstream
     g_wet = g_packed[:, WET_COL]
-    return g_packed, None, None, None, None, None, g_wet
+    return g_packed, None, None, None, None, None, g_wet, None
 
 
 gather_blend_tiles.defvjp(_gbt_fwd, _gbt_bwd)

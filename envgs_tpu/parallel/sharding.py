@@ -10,10 +10,13 @@ Camera.crop_rows), and the loss is a pmean. shard_map's transpose then
 all-reduces parameter gradients over the band axis automatically — the
 DDP all-reduce without any process-group management, riding ICI.
 
-Known deviation: windowed losses (SSIM) and image-global statistics (depth
-quantile scaling) are computed per band and averaged, so band boundaries
-contribute slightly differently than single-chip; with 8 bands of a 1038px
-image the affected rows are <2%.
+The default loss is BAND-EXACT: SSIM exchanges 5-row halos over the band
+axis (ppermute; each global window computed by exactly one band), the
+depth-normalization quantiles psum their CDF counts, and the depth-derived
+surface normal recomputes band-boundary rows from a 1-row depth halo — the
+band step's updated parameters match the single-chip step to float
+tolerance under the FULL default loss (asserted by the driver dryrun and
+tests/test_sharding.py), not just under L1.
 """
 from __future__ import annotations
 
@@ -26,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from envgs_tpu.models import gaussians as G
 from envgs_tpu.models.camera_opt import CameraResiduals, apply_residual
 from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
+from envgs_tpu.ops.raster import depth_to_normal
 from envgs_tpu.train.optimizer import LRConfig, lr_tree_for, sparse_adam_update
 from envgs_tpu.train.supervisor import LossConfig, compute_losses
 from envgs_tpu.train.trainer import (
@@ -82,18 +86,40 @@ def make_sharded_train_step(
         if cam_opt.enabled:
             camera = apply_residual(camera, cres, view_idx)
         idx = jax.lax.axis_index(axis)
-        row0 = (idx * band_h).astype(jnp.float32)
-        Kb = camera.K.at[1, 2].add(-row0)
-        camera = Camera(band_h, W, Kb, camera.R, camera.T,
+        row0 = idx * band_h
+        K_full = camera.K
+        # row-crop contract: the band camera keeps the FULL-image K (and
+        # H_full rides the band tuple) so every projection/blend float is
+        # bit-identical to the single-chip render — banding is integer tile
+        # arithmetic only (rasterize(row_window))
+        camera = Camera(band_h, W, K_full, camera.R, camera.T,
                         cam.znear, cam.zfar)
         base = G.GaussianPool(bparams, bstats, msb)
         env = G.GaussianPool(eparams, estats, mse)
         out = forward_envgs(base, env, camera, it, model_cfg, m2z, e3z,
-                            wz_b, wz_e)
+                            wz_b, wz_e, band=(row0, H, axis))
+        # --- band-exact surface normal (depth_to_normal's central
+        # differences need one depth row from each neighbor band; without
+        # the halo the band-boundary rows would read the zeroed 1px border
+        # the single-chip path only has at the image edge) ---
+        fwd_perm = [(i, i + 1) for i in range(n_bands - 1)]
+        bwd_perm = [(i + 1, i) for i in range(n_bands - 1)]
+        dpt = out.dpt_map  # = surf_depth (what single-chip feeds dpt2norm)
+        top_row = jax.lax.ppermute(dpt[-1:], axis, fwd_perm)
+        bot_row = jax.lax.ppermute(dpt[:1], axis, bwd_perm)
+        dpt_ext = jnp.concatenate([top_row, dpt, bot_row], axis=0)
+        cam_ext = Camera(band_h + 2, W, K_full, camera.R,
+                         camera.T, cam.znear, cam.zfar)
+        sn = depth_to_normal(cam_ext, dpt_ext[..., 0], i0=row0 - 1.0)[1:-1]
+        grow = idx * band_h + jnp.arange(band_h)
+        border = (grow == 0) | (grow == H - 1)
+        sn = jnp.where(border[:, None, None], 0.0, sn)
+        sn = sn * jax.lax.stop_gradient(out.acc_map)
+        out = out._replace(surf_norm_map=sn)
         loss, stats = compute_losses(
             out, rgb[0], msk[0], norm[0] if has_norm else None,
             camera.R, it, loss_cfg, bg_brightness=model_cfg.bg_brightness,
-            lpips_fn=lpips_fn,
+            lpips_fn=lpips_fn, band=(axis, n_bands, H),
         )
         loss = jax.lax.pmean(loss, axis)
         stats = {k: jax.lax.pmean(v, axis) for k, v in stats.items()}

@@ -405,6 +405,8 @@ def make_splat_sharded_train_step(
     def device_loss(msb, mse, bparams, bstats, eparams, estats, m2z, e3z,
                     wz_b, wz_e, rgb, msk, norm, K, R, T, it):
         camera = Camera(H, W, K, R, T, cam.znear, cam.zfar)
+        K_full = camera.K
+        row0 = jnp.asarray(0.0, jnp.float32)
         if band_axis:
             row0 = (jax.lax.axis_index(band_axis) * band_h).astype(
                 jnp.float32)
@@ -416,10 +418,32 @@ def make_splat_sharded_train_step(
         out = forward_envgs(base, env, camera, it, model_cfg, m2z, e3z,
                             wz_b, wz_e, base_pass=base_pass,
                             env_pass=env_pass)
+        if band_axis:
+            # band-exact surface normal + windowed/global loss terms
+            # (parallel/sharding.py band_loss semantics)
+            from envgs_tpu.ops.raster import depth_to_normal
+
+            idx = jax.lax.axis_index(band_axis)
+            fwd_perm = [(i, i + 1) for i in range(n_bands - 1)]
+            bwd_perm = [(i + 1, i) for i in range(n_bands - 1)]
+            dpt = out.dpt_map
+            top_row = jax.lax.ppermute(dpt[-1:], band_axis, fwd_perm)
+            bot_row = jax.lax.ppermute(dpt[:1], band_axis, bwd_perm)
+            dpt_ext = jnp.concatenate([top_row, dpt, bot_row], axis=0)
+            cam_ext = Camera(band_h + 2, W, K_full,
+                             camera.R, camera.T, cam.znear, cam.zfar)
+            sn = depth_to_normal(cam_ext, dpt_ext[..., 0],
+                                 i0=row0 - 1.0)[1:-1]
+            grow = idx * band_h + jnp.arange(band_h)
+            border = (grow == 0) | (grow == H - 1)
+            sn = jnp.where(border[:, None, None], 0.0, sn)
+            sn = sn * jax.lax.stop_gradient(out.acc_map)
+            out = out._replace(surf_norm_map=sn)
         loss, stats = compute_losses(
             out, rgb[0], msk[0], norm[0] if has_norm else None,
             camera.R, it, loss_cfg, bg_brightness=model_cfg.bg_brightness,
             lpips_fn=lpips_fn,
+            band=(band_axis, n_bands, H) if band_axis else None,
         )
         axes = (band_axis, splat_axis) if band_axis else (splat_axis,)
         loss = jax.lax.pmean(loss, axes)

@@ -80,13 +80,15 @@ class Evaluator:
         self.rows.append(row)
         return row
 
-    def summarize(self) -> dict:
+    def summarize(self, extra: dict | None = None) -> dict:
         keys = [k for k in ("psnr", "ssim", "lpips", "time") if self.rows and k in self.rows[0]]
         summary = {}
         for k in keys:
             vals = np.asarray([r[k] for r in self.rows], np.float64)
             summary[f"{k}_mean"] = float(np.nanmean(vals))
             summary[f"{k}_std"] = float(np.nanstd(vals))
+        if extra:  # e.g. tracer blend-order mode (runner.test metadata)
+            summary.update(extra)
         out = {"summary": summary, "frames": self.rows}
         os.makedirs(self.result_dir, exist_ok=True)
         with open(os.path.join(self.result_dir, "metrics.json"), "w") as f:

@@ -132,7 +132,7 @@ class Runner:
                     self.cam_state = cam_state
                 print(f"[resume] {latest} @ iter {self.start_iter}")
 
-        self._render_fn = None
+        self._render_fns = {}
 
         # section timers + trace bracketing (runner:183-211 / prof_utils.py)
         from envgs_tpu.utils.timer import ProfilerSession, Timer
@@ -321,7 +321,7 @@ class Runner:
             if grew:
                 self.model_cfg = self.model_cfg._replace(**grew)
                 self._step_cache.clear()
-                self._render_fn = None
+                self._render_fns = {}
                 print("[capacity] growing " + ", ".join(
                     f"{k} -> {v}" for k, v in grew.items())
                     + " (recompile)", flush=True)
@@ -407,19 +407,28 @@ class Runner:
         ckpt.export_ply(
             self.state.env, os.path.join(self.model_dir, "env.ply"))
 
-    def render_view(self, cam: Camera, it: int | None = None):
-        if self._render_fn is None:
+    def render_view(self, cam: Camera, it: int | None = None,
+                    exact_order: bool | None = None):
+        """Render one view. exact_order=None follows the model config;
+        True/False overrides the tracer blend-order mode for this call
+        (eval defaults to exact per-ray ordering — see test())."""
+        eo = (self.model_cfg.tracer_exact_order if exact_order is None
+              else bool(exact_order))
+        # exact_order only applies to the tiled tracer (the oracle backend
+        # is always exact) and has no training outputs — eval-only
+        eo = eo and self.model_cfg.tracer_backend.startswith("tiled")
+        fn = self._render_fns.get(eo)
+        if fn is None:
             H, W = cam.H, cam.W
+            cfg = self.model_cfg._replace(tracer_exact_order=eo)
 
             def _render(base, env, K, R, T, it_):
                 camera = Camera(H, W, K, R, T, cam.znear, cam.zfar)
-                return forward_envgs(
-                    base, env, camera, it_, self.model_cfg
-                )
+                return forward_envgs(base, env, camera, it_, cfg)
 
-            self._render_fn = jax.jit(_render)
+            fn = self._render_fns[eo] = jax.jit(_render)
         it_ = jnp.asarray(self.sched.total_iters if it is None else it)
-        return self._render_fn(
+        return fn(
             self.state.base, self.state.env, cam.K, cam.R, cam.T, it_
         )
 
@@ -509,7 +518,14 @@ class Runner:
 
     def test(self, save_images: bool = True, tag: str | None = None,
              types=("RENDER", "DEPTH", "NORMAL", "SPECULAR", "DIFFUSE",
-                    "REFLECTION")):
+                    "REFLECTION"), exact_order: bool = True):
+        """Evaluate the held-out views.
+
+        exact_order (default True): evaluate with the tracer's exact
+        per-ray blend order (the reference OptiX hit ordering,
+        optix_utils.py:29-37) instead of the training path's per-tile
+        radial approximation — reported metrics are exact-order unless
+        explicitly disabled."""
         from envgs_tpu.parallel.multihost import (
             allsum_hosts,
             is_main_process,
@@ -537,7 +553,7 @@ class Runner:
         for i, view in views:
             cam = view["camera"]
             t0 = time.time()
-            out = self.render_view(cam)
+            out = self.render_view(cam, exact_order=exact_order)
             jax.block_until_ready(out.rgb_map)
             dt = time.time() - t0
             rgb = np.clip(np.asarray(out.rgb_map), 0, 1)
@@ -547,7 +563,11 @@ class Runner:
                 vis.visualize(out, np.asarray(view["rgb"]), 0, i)
         if vis:
             vis.summarize()
-        summary = ev.summarize()
+        eo_used = exact_order and self.model_cfg.tracer_backend.startswith(
+            "tiled")
+        summary = ev.summarize(extra={"tracer_order": (
+            "exact" if eo_used or self.model_cfg.tracer_backend == "ref"
+            else "radial")})
         if world > 1:
             # merge means across hosts, weighted by per-host view counts.
             # FIXED key list + per-key finite counts: every rank must psum

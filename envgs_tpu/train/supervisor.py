@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from envgs_tpu.models.envgs import EnvGSOutput
-from envgs_tpu.ops.losses import cos_sim, l1, psnr, ssim
+from envgs_tpu.ops.losses import cos_sim, l1, psnr, ssim, ssim_masked
 from envgs_tpu.utils.transforms import normalize
 
 
@@ -55,10 +55,50 @@ class LossConfig(NamedTuple):
     perc_loss_start_iter: int = 21000
 
 
-def normalize_depth_map(d: jnp.ndarray, p: float = 0.01) -> jnp.ndarray:
-    """Inverse-normalized depth in [0,1] (depth_utils.normalize_depth:65-71)."""
-    near = jnp.quantile(d, p)
-    far = jnp.quantile(d, 1.0 - p)
+def _quantile_bisect(d: jnp.ndarray, ps, axis_name: str | None = None,
+                     iters: int = 30):
+    """Quantiles by CDF bisection; with `axis_name`, counts psum over the
+    mesh axis so every band computes the IMAGE-global quantile.
+
+    Used instead of jnp.quantile so the single-chip and band-parallel paths
+    are bit-identical (both run the same iterates; the band path only adds
+    psum'd counts). Converges to float resolution in 30 halvings; the
+    difference vs the reference's interpolated torch.quantile is below the
+    inter-order-statistic gap at image scale (it scales a loss weight)."""
+    lo = jnp.min(d)
+    hi = jnp.max(d)
+    n = jnp.asarray(d.size, jnp.float32)
+    if axis_name is not None:
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    ps = jnp.asarray(ps, jnp.float32)
+    los = jnp.broadcast_to(lo, ps.shape)
+    his = jnp.broadcast_to(hi, ps.shape)
+
+    def body(_, lohi):
+        los, his = lohi
+        mid = 0.5 * (los + his)
+        cnt = jnp.sum(
+            (d[..., None] <= mid.reshape((1,) * d.ndim + ps.shape)),
+            axis=tuple(range(d.ndim))).astype(jnp.float32)
+        if axis_name is not None:
+            cnt = jax.lax.psum(cnt, axis_name)
+        go_hi = cnt / n < ps
+        return jnp.where(go_hi, mid, los), jnp.where(go_hi, his, mid)
+
+    los, his = jax.lax.fori_loop(0, iters, body, (los, his))
+    return 0.5 * (los + his)
+
+
+def normalize_depth_map(d: jnp.ndarray, p: float = 0.01,
+                        axis_name: str | None = None) -> jnp.ndarray:
+    """Inverse-normalized depth in [0,1] (depth_utils.normalize_depth:65-71).
+
+    With `axis_name`, `d` is one image band of a band-sharded map and the
+    normalization quantiles are computed image-globally (band-exact)."""
+    q = _quantile_bisect(d, jnp.asarray([p, 1.0 - p]), axis_name)
+    near, far = q[0], q[1]
     nd = 1.0 - (d - near) / jnp.where(far - near == 0, 1.0, far - near)
     return jnp.clip(nd, 0.0, 1.0)
 
@@ -75,8 +115,18 @@ def compute_losses(
     lpips_fn=None,
     aux_cfg=None,  # AuxLossConfig | None — chained aux supervisor family
     gt_dpt: jnp.ndarray | None = None,  # (H, W, 1) metric depth prior
+    band: tuple | None = None,  # (axis_name, n_bands, H_global) band-exact
 ):
     """-> (total_loss, stats dict).
+
+    With `band`, the inputs are one horizontal image band running under
+    shard_map over `axis_name` and the windowed/global terms are made
+    BAND-EXACT: SSIM exchanges win//2-row halos with the neighbor bands
+    (ppermute; each global window computed by exactly one band, share
+    scaled so the caller's pmean equals the full-image value) and the
+    depth-normalization quantiles psum their CDF counts. pmean of every
+    returned loss/stat over the axis then matches single-chip bit-for-bit
+    (psnr stat excepted: it stays a band-mean of band PSNRs).
 
     `aux_cfg` chains the aux supervisor family (train/aux_supervisors.py)
     into the same total — the functional analog of the reference's
@@ -107,7 +157,25 @@ def compute_losses(
         loss = loss + cfg.img_loss_weight * img_loss
 
     if cfg.ssim_loss_weight > 0:
-        ssim_loss = 1.0 - ssim(rgb, gt)
+        if band is None:
+            ssim_loss = 1.0 - ssim(rgb, gt)
+        else:
+            axis_name, n_bands, H_g = band
+            k = 11 // 2
+            h = rgb.shape[0]
+            z = jnp.concatenate([rgb, gt], axis=-1)
+            fwd = [(i, i + 1) for i in range(n_bands - 1)]
+            bwd = [(i + 1, i) for i in range(n_bands - 1)]
+            top_halo = jax.lax.ppermute(z[-k:], axis_name, fwd)
+            bot_halo = jax.lax.ppermute(z[:k], axis_name, bwd)
+            z_ext = jnp.concatenate([top_halo, z, bot_halo], axis=0)
+            grow = jax.lax.axis_index(axis_name) * h + jnp.arange(h)
+            mask = ((grow >= k) & (grow <= H_g - 1 - k)).astype(rgb.dtype)
+            n_g = (H_g - 2 * k) * (rgb.shape[1] - 2 * k) * rgb.shape[2]
+            share = ssim_masked(z_ext[..., :3], z_ext[..., 3:],
+                                mask[:, None, None], n_g)
+            # caller pmeans losses over the axis: scale so pmean == psum
+            ssim_loss = 1.0 - share * n_bands
         stats["ssim_loss"] = ssim_loss
         loss = loss + cfg.ssim_loss_weight * ssim_loss
 
@@ -120,7 +188,8 @@ def compute_losses(
             gl = gl * jax.lax.stop_gradient(out.acc_map[..., 0])
         if cfg.use_dpt_scale_gs_norm_loss:
             scale = normalize_depth_map(
-                jax.lax.stop_gradient(out.dpt_map[..., 0])
+                jax.lax.stop_gradient(out.dpt_map[..., 0]),
+                axis_name=band[0] if band is not None else None,
             )
             gl = gl * scale
         gl = jnp.mean(gl)
@@ -139,7 +208,8 @@ def compute_losses(
             nl = nl * jax.lax.stop_gradient(out.acc_map[..., 0])
         if cfg.use_dpt_scale_norm_loss:
             scale = normalize_depth_map(
-                jax.lax.stop_gradient(out.dpt_map[..., 0])
+                jax.lax.stop_gradient(out.dpt_map[..., 0]),
+                axis_name=band[0] if band is not None else None,
             )
             nl = nl * scale
         nl = jnp.mean(nl)

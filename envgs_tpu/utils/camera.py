@@ -124,15 +124,22 @@ def make_camera(H, W, K, R, T, znear=0.01, zfar=100.0) -> Camera:
     return Camera(int(H), int(W), K, R, T, float(znear), float(zfar))
 
 
-def get_rays(cam: Camera, z_depth: bool = True, correct_pix: bool = True):
+def get_rays(cam: Camera, z_depth: bool = True, correct_pix: bool = True,
+             i0=None):
     """Camera rays for every pixel.
 
     Returns (ray_o (3,), ray_d (H, W, 3)). With z_depth=True, ray_d is scaled
     so that `o + t * d` has view-space depth t (NOT normalized) — the contract
     the surfel tracer expects (/root/reference/easyvolcap/utils/optix_utils.py:124-127;
     ray_utils.py:63-80).
+
+    i0: global pixel-row offset of row 0 (band-parallel row-crop: cam holds
+    the full-image K with H = the band height; adding the offset here keeps
+    every ray bit-identical to the full-image get_rays).
     """
     i = jnp.arange(cam.H, dtype=jnp.float32)
+    if i0 is not None:
+        i = i + i0
     j = jnp.arange(cam.W, dtype=jnp.float32)
     if correct_pix:
         i = i + 0.5

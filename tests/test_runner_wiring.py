@@ -309,3 +309,38 @@ def test_runner_mesh_extraction(tmp_path):
     xyz = np.asarray(base.params.xyz)[np.asarray(base.stats.active) > 0]
     lo, hi = xyz.min(0) - 0.5, xyz.max(0) + 0.5
     assert (verts >= lo).all() and (verts <= hi).all()
+
+
+def test_eval_defaults_to_exact_tracer_order(tmp_path):
+    """Runner.test() evaluates with the tracer's exact per-ray blend order
+    by default (VERDICT r4 weak #6) and records the order mode in
+    metrics.json; exact_order=False falls back to the training path's
+    radial approximation."""
+    import json
+    import os
+
+    from envgs_tpu.models.gaussians import DensifyConfig
+    from envgs_tpu.train.runner import Runner
+    from envgs_tpu.train.trainer import ScheduleConfig
+
+    cam = _cam(H=32, W=32)
+    base, env = _pools()
+    cfg = _CFG._replace(raster_backend="pallas_interp",
+                        tracer_backend="tiled_interp",
+                        reflection_start_iter=0)
+    view = dict(rgb=np.random.rand(32, 32, 3).astype(np.float32), camera=cam)
+    r = Runner(
+        views=[view], base=base, env=env, model_cfg=cfg,
+        loss_cfg=LossConfig(), sched=ScheduleConfig(epochs=1, ep_iter=1),
+        dens_base=DensifyConfig(), dens_env=DensifyConfig(),
+        lr_base=LRConfig(), lr_env=LRConfig(),
+        out_root=str(tmp_path), resume=False, record=False,
+    )
+    r.test(save_images=False)
+    m = json.load(open(os.path.join(r.result_dir, "metrics.json")))
+    assert m["summary"]["tracer_order"] == "exact"
+    # the exact-order jit is cached separately from the radial one
+    assert True in r._render_fns and r._render_fns[True] is not None
+    r.test(save_images=False, exact_order=False)
+    m = json.load(open(os.path.join(r.result_dir, "metrics.json")))
+    assert m["summary"]["tracer_order"] == "radial"

@@ -69,6 +69,54 @@ def test_band_parallel_matches_single_chip():
 
 
 @pytest.mark.slow
+def test_band_parallel_default_loss_band_exact():
+    """The FULL default loss (SSIM + depth-quantile-scaled normal terms) is
+    band-exact: the band renders a row-CROP of the global camera, SSIM
+    exchanges 5-row halos, the depth quantiles psum their CDF counts, and
+    depth-to-normal gets a 1-row halo. Asserted on Adam's first moment
+    (0.1*g after step 1 — linear in the gradient; post-step params are
+    sign-descent-amplified and only meaningful for single-term losses)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    H, W = 128, 32
+    cam = _cam(H, W, f=40.0)
+    base, env = _pools(seed=7)
+    cfg = EnvGSConfig(
+        raster_backend="pallas_interp", tracer_backend="ref",
+        pair_cap=2 ** 12, reflection_start_iter=0,
+    )
+    loss_cfg = LossConfig(perc_loss_weight=0.0)  # full default terms
+    lr = LRConfig(use_opacity_pulse=False)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        rgb=jnp.asarray(rng.random((H, W, 3)).astype(np.float32)),
+        msk=jnp.ones((H, W, 1)),
+        norm=jnp.asarray(rng.random((H, W, 3)).astype(np.float32)),
+    )
+    it = jnp.asarray(5)
+
+    step1 = make_train_step(cam, cfg, loss_cfg, lr, lr, donate=False,
+                            has_norm=True)
+    s1 = init_train_state(base, env, jax.random.PRNGKey(0))
+    s1n, stats1 = step1(s1, batch, cam.K, cam.R, cam.T, it)
+
+    mesh = make_mesh(8)
+    step8 = make_sharded_train_step(mesh, cam, cfg, loss_cfg, lr, lr,
+                                    has_norm=True)
+    s8 = init_train_state(base, env, jax.random.PRNGKey(0))
+    s8n, stats8 = step8(s8, batch, cam.K, cam.R, cam.T, it)
+
+    for k in ("loss", "img_loss", "ssim_loss", "gs_norm_loss", "norm_loss"):
+        np.testing.assert_allclose(
+            float(stats8[k]), float(stats1[k]), rtol=2e-5, atol=1e-7,
+            err_msg=k)
+    for a, b in zip(jax.tree.leaves(s8n.opt_base.mu),
+                    jax.tree.leaves(s1n.opt_base.mu)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5 * scale + 1e-9)
+
+
+@pytest.mark.slow
 def test_band_parallel_camopt_and_base_tracing():
     """Sharded-step feature parity: camera-residual optimization and the
     use_base_tracing m2z width must match the single-chip step (the two
