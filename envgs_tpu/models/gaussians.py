@@ -139,6 +139,7 @@ def create_pool(
     scale_axes: int = 2,
     times: np.ndarray | None = None,
     init_scale_t: float = 0.1414,
+    sh_degree_t: int = 0,
 ) -> GaussianPool:
     """Build a pool from an initial point cloud (host-side numpy).
 
@@ -149,7 +150,9 @@ def create_pool(
 
     P = int(xyz.shape[0])
     assert P <= cap, f"init points {P} exceed pool capacity {cap}"
-    K = num_sh_coeffs(sh_degree)
+    # sh_degree_t > 0: 4D SH (spatial blocks x cosine temporal harmonics,
+    # sh_utils.py:731-1097) — extra temporal blocks ride features_rest
+    K = num_sh_coeffs(sh_degree) * (sh_degree_t + 1)
     rng = np.random.default_rng(seed)
 
     f_dc = np.zeros((cap, 1, 3), np.float32)

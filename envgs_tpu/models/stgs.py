@@ -45,11 +45,15 @@ from envgs_tpu.train.optimizer import (
     sparse_adam_update,
 )
 from envgs_tpu.utils.camera import Camera
-from envgs_tpu.utils.sh import eval_sh_color
+from envgs_tpu.utils.sh import eval_sh_4d, eval_sh_color
 
 
 class STGSConfig(NamedTuple):
     sh_degree: int = 3
+    # temporal SH degree: 0 = static 3D SH; k > 0 adds k cosine temporal
+    # harmonics per spatial block (eval_shfs_4d, sh_utils.py:731-1097) for
+    # time-varying appearance
+    sh_degree_t: int = 0
     init_opacity: float = 0.1
     init_scale_t: float = 0.1414  # stgs_utils.py:72 default
     duration: float = 1.0  # sequence time span (t normalized to [0, 1])
@@ -70,6 +74,7 @@ def init_stgs_pool(xyz: np.ndarray, times: np.ndarray,
         xyz, colors, cap=cap, sh_degree=cfg.sh_degree,
         init_opacity=cfg.init_opacity, scale_axes=3,
         times=times, init_scale_t=cfg.init_scale_t,
+        sh_degree_t=cfg.sh_degree_t,
     )
 
 
@@ -88,13 +93,24 @@ def render_stgs(pool: GaussianPool, cam: Camera, tt: jnp.ndarray,
                 means2d_zero: jnp.ndarray | None = None) -> Raster3DOutput:
     """Render one view at time tt (render_fdgs output contract)."""
     xyz_t, opacity_t = splats_at_time(pool, tt)
-    feats = pool.get_features * sh_degree_mask(
-        pool.stats.sh_degree, pool.max_sh_degree)[None, :, None]
     dirs = xyz_t - cam.center[None, :]
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
                               1e-8)
-    colors = eval_sh_color(pool.max_sh_degree, jnp.swapaxes(feats, 1, 2),
-                           dirs)
+    smask = sh_degree_mask(pool.stats.sh_degree, pool.max_sh_degree)
+    if cfg.sh_degree_t > 0:
+        # 4D SH: per-splat time offset from the temporal center, period =
+        # the sequence duration (eval_shfs_4d contract)
+        feats = pool.get_features * jnp.tile(
+            smask, cfg.sh_degree_t + 1)[None, :, None]
+        dt = tt - pool.params.t[:, 0]
+        colors = jnp.clip(
+            eval_sh_4d(pool.max_sh_degree, cfg.sh_degree_t,
+                       jnp.swapaxes(feats, 1, 2), dirs, dt,
+                       l=cfg.duration) + 0.5, 0.0, None)
+    else:
+        feats = pool.get_features * smask[None, :, None]
+        colors = eval_sh_color(pool.max_sh_degree,
+                               jnp.swapaxes(feats, 1, 2), dirs)
     return render_gaussians3d(
         xyz_t, pool.params.rotation, pool.get_scaling, opacity_t, colors,
         cam, bg_color=cfg.bg_brightness, backend=cfg.raster_backend,

@@ -563,11 +563,15 @@ class Runner:
                 vis.visualize(out, np.asarray(view["rgb"]), 0, i)
         if vis:
             vis.summarize()
-        eo_used = exact_order and self.model_cfg.tracer_backend.startswith(
-            "tiled")
-        summary = ev.summarize(extra={"tracer_order": (
-            "exact" if eo_used or self.model_cfg.tracer_backend == "ref"
-            else "radial")})
+        mc = getattr(self, "model_cfg", None)  # fakes in tests may omit it
+        eo_used = (exact_order and mc is not None
+                   and mc.tracer_backend.startswith("tiled"))
+        extra = None
+        if mc is not None:
+            extra = {"tracer_order": (
+                "exact" if eo_used or mc.tracer_backend == "ref"
+                else "radial")}
+        summary = ev.summarize(extra=extra)
         if world > 1:
             # merge means across hosts, weighted by per-host view counts.
             # FIXED key list + per-key finite counts: every rank must psum

@@ -108,6 +108,10 @@ def write_cameras(cams: dict[str, dict], data_root: str):
         extri[f"T_{name}"] = np.asarray(cam["T"]).reshape(3, 1)
         if "t" in cam:  # dnerf-style per-view timestamp
             extri[f"t_{name}"] = float(cam["t"])
+        if "n" in cam:  # per-view near/far (llff/mipnerf360 bounds)
+            extri[f"n_{name}"] = float(cam["n"])
+        if "f" in cam:
+            extri[f"f_{name}"] = float(cam["f"])
     with open(os.path.join(data_root, "intri.yml"), "w") as f:
         f.write(_dump_opencv_yaml(intri))
     with open(os.path.join(data_root, "extri.yml"), "w") as f:

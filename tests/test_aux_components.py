@@ -113,7 +113,7 @@ def test_websocket_roundtrip_server():
             16, 16, np.diag([20.0, 20.0, 1.0]), np.eye(3, dtype=np.float32),
             np.zeros(3, np.float32)))]
 
-        def render_view(self, cam):
+        def render_view(self, cam, **kw):
             class Out:
                 rgb_map = jnp.asarray(frame)
                 dpt_map = jnp.ones((16, 16, 1))
@@ -257,7 +257,8 @@ def test_multihost_eval_split_and_merge(monkeypatch, tmp_path):
         r.views = views
         r.recorder = FakeRec()
         # rank 0 renders views 0,2 perfectly; rank 1 renders 1,3 as 0.25
-        r.render_view = lambda cam, _v=(0.5 if rank == 0 else 0.25): FakeOut(_v)
+        r.render_view = (lambda cam, _v=(0.5 if rank == 0 else 0.25),
+                         **kw: FakeOut(_v))
         monkeypatch.setattr(runner_mod, "Evaluator",
                             __import__("envgs_tpu.train.evaluator",
                                        fromlist=["Evaluator"]).Evaluator)
@@ -332,7 +333,7 @@ def test_websocket_hello_and_viewer_page():
             16, 16, np.diag([20.0, 20.0, 1.0]), np.eye(3, dtype=np.float32),
             np.arange(3, dtype=np.float32)))]
 
-        def render_view(self, cam):
+        def render_view(self, cam, **kw):
             class Out:
                 rgb_map = jnp.zeros((16, 16, 3))
             return Out()

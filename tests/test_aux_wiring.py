@@ -10,6 +10,7 @@ compute_losses: these tests prove an aux term is (a) enableable from config,
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from envgs_tpu.models.envgs import EnvGSConfig, forward_envgs
 from envgs_tpu.models.gaussians import create_pool
@@ -49,6 +50,7 @@ _LOSS = LossConfig(img_loss_weight=1.0, ssim_loss_weight=0.0,
                    perc_loss_weight=0.0)
 
 
+@pytest.mark.slow
 def test_aux_depth_loss_trains_depth():
     """Enabling dpt_loss_weight must surface aux_dpt_loss in stats AND pull
     the rendered depth toward the GT depth over a few steps."""
@@ -76,6 +78,7 @@ def test_aux_depth_loss_trains_depth():
     assert np.mean(vals[-5:]) < 0.7 * np.mean(vals[:5]), vals[::5]
 
 
+@pytest.mark.slow
 def test_aux_disabled_is_identical():
     """aux_cfg=None and an all-zero AuxLossConfig produce the same loss."""
     cam = _cam()

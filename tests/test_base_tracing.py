@@ -138,6 +138,7 @@ def test_multibounce_reflects_specular_surface():
     assert rgb[1] < 0.1 and rgb[2] < 0.1
 
 
+@pytest.mark.slow
 def test_specular_filtering_gate():
     """With an extreme filtering percentile, unfiltered pixels keep the pure
     base color after the reflection start."""

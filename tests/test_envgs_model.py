@@ -80,6 +80,7 @@ def test_reflection_gate():
     assert float(jnp.abs(out1.env_rgb_map).sum()) > 0
 
 
+@pytest.mark.slow
 def test_reflect_rays_geometry():
     """Reflected rays must bounce off the rendered surface."""
     cam = _cam()

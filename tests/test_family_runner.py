@@ -26,6 +26,7 @@ def _nerf_cfg(tmp, iters, save_every=4):
     })
 
 
+@pytest.mark.slow
 def test_family_resume_after_kill(tmp_path):
     """A second invocation must pick up from the periodic latest.npz (the
     kill-9-at-mid-train scenario): start_iter > 0 and the checkpoint's

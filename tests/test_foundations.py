@@ -179,6 +179,7 @@ def test_chunkify():
                                np.asarray(rays).sum(-1))
 
 
+@pytest.mark.slow
 def test_ssim_custom_vjp_matches_autodiff():
     """ssim's closed-form backward (fused-ssim recipe) must match plain
     autodiff through the filter chain to float precision."""

@@ -77,6 +77,7 @@ def test_render_and_train_convergence():
     assert last > first + 2.0, (first, last)
 
 
+@pytest.mark.slow
 def test_maintenance_schedule():
     cfg = GaussianTConfig(
         raster_backend="pallas_interp", pair_cap=2 ** 12, sh_degree=2,

@@ -95,6 +95,7 @@ def test_lpips_weight_roundtrip(tmp_path):
     assert a == pytest.approx(b, rel=1e-6)
 
 
+@pytest.mark.slow
 def test_lpips_lin_calibration_matches_package_formula(tmp_path):
     """With lin{i}_w in the npz, lpips_pair applies the lpips package's
     calibration: d = sum_i spatial_mean( sum_c lin_i[c] * (nx - ny)_c^2 )

@@ -55,6 +55,7 @@ def test_oracle_sanity():
     assert float(out.wet.sum()) > 0
 
 
+@pytest.mark.slow
 def test_forward_parity():
     cam = _cam()
     scene = _random_scene()

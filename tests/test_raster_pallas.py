@@ -152,6 +152,7 @@ def test_render_mode_unaligned_parity():
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gradient_lane_wet_matches_forward_wet():
     """With wet_zero, per-splat wet arrives as d(loss)/d(wet_zero) through
     the blend backward's WET_COL lane — it must match the forward
@@ -185,6 +186,7 @@ def test_gradient_lane_wet_matches_forward_wet():
     np.testing.assert_array_equal(np.asarray(wet_zeroed), 0.0)
 
 
+@pytest.mark.slow
 def test_distortion_moment_cotangents_match_oracle():
     """The d1/d2 moment outputs' cotangents (consumed by splat-slab
     composition) must flow through the blend backward like the depth

@@ -311,6 +311,7 @@ def test_runner_mesh_extraction(tmp_path):
     assert (verts >= lo).all() and (verts <= hi).all()
 
 
+@pytest.mark.slow
 def test_eval_defaults_to_exact_tracer_order(tmp_path):
     """Runner.test() evaluates with the tracer's exact per-ray blend order
     by default (VERDICT r4 weak #6) and records the order mode in

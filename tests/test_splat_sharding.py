@@ -51,6 +51,7 @@ def test_slab_assignment_partitions_by_depth_rank():
     np.testing.assert_array_equal(slab, [2, 0, 1, 0, 1, 2])
 
 
+@pytest.mark.slow
 def test_splat_sharded_render_matches_single_device():
     from jax.sharding import Mesh
 
@@ -86,6 +87,7 @@ def test_splat_sharded_render_matches_single_device():
                                   np.asarray(single.radii))
 
 
+@pytest.mark.slow
 def test_splat_sharded_gradients_match_single_device():
     """Parameter gradients through the slab composition (shard_map
     transpose psums each slab's contribution) must match single-device."""

@@ -128,3 +128,86 @@ def test_training_recovers_motion():
         state.pool.stats.active)]
     assert mot[:, 0].mean() > 0.05, mot[:, 0].mean()
     assert abs(mot[:, 1]).mean() < mot[:, 0].mean()
+
+
+@pytest.mark.slow
+def test_4dsh_static_block_equivalence():
+    """With sh_degree_t > 0 but zero temporal coefficients, the 4D-SH
+    render equals the static-SH render exactly (the k=0 block IS the
+    static SH, eval_shfs_4d semantics sh_utils.py:731-1097)."""
+    cfg4 = CFG._replace(sh_degree_t=2)
+    pool4 = _blob_pool_cfg(cfg4)
+    pool3 = _blob_pool_cfg(CFG)
+    cam = _cam()
+    out4 = render_stgs(pool4, cam, jnp.asarray(0.5), cfg4)
+    out3 = render_stgs(pool3, cam, jnp.asarray(0.5), CFG)
+    np.testing.assert_allclose(np.asarray(out4.rgb), np.asarray(out3.rgb),
+                               atol=1e-6)
+
+
+def _blob_pool_cfg(cfg, v=(0.0, 0.0, 0.0), t0=0.5, n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = (rng.standard_normal((n, 3)) * 0.05 + [0, 0, 3.0]).astype(
+        np.float32)
+    colors = np.tile([[0.9, 0.3, 0.2]], (n, 1)).astype(np.float32)
+    pool = init_stgs_pool(xyz, np.full(n, t0, np.float32), colors, 64, cfg)
+    return pool._replace(params=pool.params._replace(
+        motion=jnp.where(pool.stats.active[:, None],
+                         jnp.asarray(v, jnp.float32)[None, :], 0.0),
+        opacity=jnp.full((64, 1), 4.0),
+        scaling_t=jnp.full((64, 1), np.log(10.0)),  # no temporal fade
+    ))
+
+
+@pytest.mark.slow
+def test_4dsh_recovers_time_varying_color():
+    """A deg_t=1 STGS model recovers a scene whose color oscillates in
+    time (GT rendered from known 4D coefficients at 4 timestamps); the
+    static-SH model structurally cannot and plateaus at a higher loss —
+    the 4D-SH appearance claim of the STGS family (VERDICT r4 item 8)."""
+    cfg4 = STGSConfig(sh_degree=1, sh_degree_t=1,
+                      raster_backend="pallas_interp", pair_cap=2 ** 11)
+    cam = _cam()
+    # GT: blob whose k=1 temporal block carries a strong red<->blue swing
+    gt_pool = _blob_pool_cfg(cfg4)
+    K = (cfg4.sh_degree + 1) ** 2
+    fr = np.array(gt_pool.params.features_rest)
+    fr[:, K - 1, 0] = 0.8   # cos-harmonic red
+    fr[:, K - 1, 2] = -0.8  # cos-harmonic blue (opposite phase)
+    gt_pool = gt_pool._replace(
+        params=gt_pool.params._replace(features_rest=jnp.asarray(fr)),
+        stats=gt_pool.stats._replace(
+            sh_degree=jnp.asarray(cfg4.sh_degree, jnp.int32)))
+    times = [0.1, 0.35, 0.6, 0.85]
+    gts = [np.asarray(render_stgs(gt_pool, cam, jnp.asarray(t), cfg4).rgb)
+           for t in times]
+    # the GT genuinely varies over time
+    assert np.max(np.abs(gts[0] - gts[2])) > 0.2
+
+    def fit(cfg):
+        pool = _blob_pool_cfg(cfg)
+        pool = pool._replace(stats=pool.stats._replace(
+            sh_degree=jnp.asarray(cfg.sh_degree, jnp.int32)))
+        state = init_stgs_state(pool)
+        lr = stgs_lr_config()._replace(features_dc=0.01, features_rest=0.01)
+        step = jax.jit(make_stgs_train_step(cfg, cam, lr, donate=False))
+        last = None
+        for it in range(120):
+            t_i = it % len(times)
+            state, stats = step(state, cam.K, cam.R, cam.T,
+                                jnp.asarray(times[t_i]),
+                                jnp.asarray(gts[t_i]), jnp.asarray(it))
+            last = float(stats["loss"])
+        # loss on all four timestamps with the final params
+        tot = 0.0
+        for t_i, t in enumerate(times):
+            out = render_stgs(state.pool, cam, jnp.asarray(t), cfg)
+            tot += float(jnp.mean(jnp.abs(out.rgb - gts[t_i])))
+        return tot / len(times), last
+
+    err4, _ = fit(cfg4)
+    err3, _ = fit(STGSConfig(sh_degree=1, sh_degree_t=0,
+                             raster_backend="pallas_interp",
+                             pair_cap=2 ** 11))
+    assert err4 < 0.5 * err3, (err4, err3)
+    assert err4 < 0.05, err4

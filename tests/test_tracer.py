@@ -83,6 +83,7 @@ def test_reference_tracer_occlusion():
     assert abs(float(out.dpt[0, 0]) - 2.0) < 0.05
 
 
+@pytest.mark.slow
 def test_reference_tracer_zdepth_scaling():
     """Scaling ray_d by s scales the returned t by 1/s (z-depth contract)."""
     scene = prepare_trace_scene(*_shell_scene(P=32, seed=2))
@@ -161,6 +162,7 @@ def test_tiled_tracer_grad_parity():
         )
 
 
+@pytest.mark.slow
 def test_tracer_render_mode_strips_training_outputs():
     """needs=(False, False) (pure render) must leave rgb/acc/dpt/norm
     bit-identical and zero the training-only wet/dist outputs."""
@@ -176,6 +178,7 @@ def test_tracer_render_mode_strips_training_outputs():
     assert np.all(np.asarray(lean.wet) == 0.0)
 
 
+@pytest.mark.slow
 def test_tracer_gradient_lane_wet_matches_forward_wet():
     """Tracer counterpart of the raster wet-lane test: with wet_zero, the
     per-splat traced wet arrives as d(loss)/d(wet_zero) and must match the

@@ -174,6 +174,7 @@ def test_image_based_regressor_blends_sources():
     _grad_ok(lambda p: reg(p, geo, src), params)
 
 
+@pytest.mark.slow
 def test_image_based_spherical_harmonics():
     reg = ImageBasedSphericalHarmonics(xyz_dim=5, src_dim=7, sh_deg=2,
                                        resd_limit=0.2, width=8, depth=1)
@@ -190,6 +191,7 @@ def test_image_based_spherical_harmonics():
              params)
 
 
+@pytest.mark.slow
 def test_nerf_family_trains_with_sh_dir_encoding():
     """TcnnDirEmbedder-style SH direction encoding wired into the NeRF
     family (NerfConfig.dir_encoding='sh'): a few optimizer steps on a
