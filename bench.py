@@ -58,8 +58,13 @@ def main_train():
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
     cam = make_camera(H, W, K, np.eye(3, dtype=np.float32),
                       np.zeros(3, np.float32), 0.02, 100.0)
-    # snug caps (the runner's adaptive escalation keeps production runs at
-    # the smallest sufficient power of two; this scene peaks at ~1.9M pairs)
+    # caps pinned at 2^21 for cross-round comparability. NOTE the env
+    # trace on this synthetic dome stress workload raises ~2.8M candidate
+    # slots (post-probe) against the 2^21 cap, so ~25% of the farthest
+    # tiles' slots are truncated (the documented total-cap semantics);
+    # the production runner would escalate env_pair_cap to 2^22 on the
+    # dropped-slot counter and run correspondingly slower. Real scenes
+    # trace masked reflective regions, not every pixel of a dome.
     cfg = EnvGSConfig(raster_backend="pallas", tracer_backend="tiled",
                       pair_cap=2 ** 21, env_pair_cap=2 ** 21,
                       reflection_start_iter=0)

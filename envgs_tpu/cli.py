@@ -403,6 +403,10 @@ def main(argv=None):
                    help="render mode: camera path interpolation kind")
     p.add_argument("--path-frames", type=int, default=60,
                    help="render mode: number of path frames")
+    p.add_argument("--path-dir", default=None,
+                   help="render mode: explicit saved camera path dir "
+                        "(easymocap intri/extri, e.g. the viewer's O-key "
+                        "export under result/<exp>/camera_paths/<ts>)")
     p.add_argument("--mesh-res", type=int, default=256,
                    help="mesh mode: TSDF grid resolution")
     p.add_argument("--mesh-stride", type=int, default=1,
@@ -511,7 +515,8 @@ def main(argv=None):
         runner.test()
     elif a.mode == "render":
         out = runner.render_path(n_frames=a.path_frames, kind=a.path_kind,
-                                 tag=a.path_kind)
+                                 tag=("file" if a.path_dir else a.path_kind),
+                                 path_dir=a.path_dir)
         print(f"[render] wrote {out}")
     elif a.mode == "mesh":
         # TSDF depth-fusion mesh export from the latest checkpoint

@@ -1169,8 +1169,8 @@ def _gbt_fwd(packed, gauss_idx, rays, tile_bounds, wet_zero,
              A, interpret, needs=(True, True)):
     del wet_zero
     # the backward reads d1/d2/last (need_dist); wet arrives through the
-    # gradient lane, so honor the caller's wet strip
-    needs = (True, needs[1])
+    # gradient lane, so honor the caller's wet/geo strips
+    needs = (True, needs[1]) + tuple(needs[2:3])
     packedp = jax.lax.optimization_barrier(pack_rows(packed))
     pairs = jax.lax.optimization_barrier(packedp[gauss_idx])
     out = _trace_fwd_call(pairs, rays, tile_bounds, A, interpret, needs)

@@ -128,6 +128,83 @@ class RenderServer:
         self.attached_iter = int(it)
         print(f"[watch] attached to {latest} @ iter {it}")
 
+    def _overlay_payload(self, kind: str) -> dict:
+        """Geometry for the client-side overlay layer (the browser
+        counterpart of the imgui viewer's mesh/point overlays,
+        volumetric_video_viewer.py:267-375): point clouds from the saved
+        gaussian ply, wireframe meshes from the TSDF mesh export. Vertices
+        are decimated server-side to keep the JSON frame small."""
+        if kind == "off":
+            return {"kind": "off"}
+        mdl = getattr(self.runner, "model_dir", "")
+        res = getattr(self.runner, "result_dir", "")
+        if kind == "points":
+            from envgs_tpu.utils.ply import load_gaussian_ply
+
+            for name in ("base.ply", "point_cloud.ply", "env.ply"):
+                p = os.path.join(mdl, name)
+                if os.path.exists(p):
+                    xyz = np.asarray(load_gaussian_ply(p)["xyz"], np.float32)
+                    step = max(1, len(xyz) // 20000)
+                    return {"kind": "points", "name": name,
+                            "verts": xyz[::step].round(4).tolist()}
+            return {"kind": "off", "error": "no gaussian ply saved yet"}
+        if kind == "mesh":
+            from envgs_tpu.utils.fusion import load_mesh_ply
+
+            for root in (res, mdl):
+                p = os.path.join(root, "mesh.ply")
+                if os.path.exists(p):
+                    verts, faces = load_mesh_ply(p)
+                    step = max(1, len(faces) // 15000)
+                    return {"kind": "mesh", "name": p,
+                            "verts": verts.round(4).tolist(),
+                            "faces": faces[::step].tolist()}
+            return {"kind": "off",
+                    "error": "no mesh.ply (run the mesh CLI mode first)"}
+        return {"kind": "off", "error": f"unknown overlay {kind!r}"}
+
+    def _paths_dir(self) -> str:
+        return os.path.join(getattr(self.runner, "result_dir", "."),
+                            "camera_paths")
+
+    def _save_camera_path(self, frames: list, K) -> str:
+        """Persist viewer keyframes as an easymocap camera path
+        (intri/extri under result_dir/camera_paths/<name>; the render CLI
+        consumes it via --path-dir — the CameraPath export of
+        utils/viewer_utils.py)."""
+        from envgs_tpu.utils.easycam import write_cameras
+
+        name = time.strftime("path_%Y%m%d_%H%M%S")
+        out = os.path.join(self._paths_dir(), name)
+        cams = {}
+        for i, fr in enumerate(frames):
+            cams[f"{i:04d}"] = dict(
+                K=np.asarray(K, np.float32).reshape(3, 3),
+                R=np.asarray(fr["R"], np.float32).reshape(3, 3),
+                T=np.asarray(fr["T"], np.float32).reshape(3, 1),
+            )
+        write_cameras(cams, out)
+        return out
+
+    def _load_camera_path(self, name: str | None) -> dict:
+        from envgs_tpu.utils.easycam import read_cameras
+
+        root = self._paths_dir()
+        if not os.path.isdir(root):
+            return {"error": "no saved camera paths"}
+        names = sorted(os.listdir(root))
+        if not names:
+            return {"error": "no saved camera paths"}
+        pick = name if name in names else names[-1]
+        cams = read_cameras(os.path.join(root, pick))
+        frames = [
+            {"R": np.asarray(c["R"], np.float32).ravel().tolist(),
+             "T": np.asarray(c["T"], np.float32).ravel().tolist()}
+            for _k, c in sorted(cams.items())
+        ]
+        return {"name": pick, "frames": frames, "available": names}
+
     def _render(self, cam, render_type: str) -> np.ndarray:
         self.maybe_reload()
         out = self.runner.render_view(cam)
@@ -162,6 +239,21 @@ class RenderServer:
                 if t in RENDER_TYPES:
                     render_type = t
                     await ws.send(json.dumps({"render_type": render_type}))
+                if "overlay" in obj:
+                    await ws.send(json.dumps(
+                        {"overlay": self._overlay_payload(obj["overlay"])}))
+                if "save_path" in obj:
+                    try:
+                        out = self._save_camera_path(
+                            obj["save_path"], cam0.K)
+                        await ws.send(json.dumps({"saved_path": out}))
+                    except Exception as e:  # surface, don't kill the socket
+                        await ws.send(json.dumps(
+                            {"saved_path": None, "error": str(e)}))
+                if "load_path" in obj:
+                    await ws.send(json.dumps(
+                        {"loaded_path":
+                         self._load_camera_path(obj.get("load_path"))}))
                 continue
             try:
                 K, R, T = decode_camera(msg)

@@ -433,14 +433,38 @@ class Runner:
         )
 
     def render_path(self, n_frames: int = 60, kind: str = "orbit",
-                    tag: str = "path", types=("RENDER",), fps: int = 30):
+                    tag: str = "path", types=("RENDER",), fps: int = 30,
+                    path_dir: str | None = None):
         """Novel-view path rendering (the reference's ORBIT/SPIRAL/CUBIC
         inference datasets + spec configs, volumetric_video_inference_dataset
         .py:155-163): interpolate a camera path through the training views,
-        render each frame, save PNGs and (if ffmpeg is present) an mp4."""
+        render each frame, save PNGs and (if ffmpeg is present) an mp4.
+
+        path_dir: an explicit saved camera path (easymocap intri/extri —
+        e.g. the browser viewer's O-key export under result_dir/
+        camera_paths/) used as the keyframes instead of the training
+        views: cubic-interpolated to n_frames (the reference's
+        camera_path_intri/extri loading)."""
         from envgs_tpu.utils.camera import camera_path_interpolate
 
-        cams = [v["camera"] for v in self.views]
+        if path_dir is not None:
+            from envgs_tpu.utils.easycam import read_cameras
+            from envgs_tpu.utils.camera import make_camera
+
+            tmpl = self.views[0]["camera"]
+            loaded = read_cameras(path_dir)
+            cams = [
+                make_camera(
+                    int(c.get("H", tmpl.H)), int(c.get("W", tmpl.W)),
+                    np.asarray(c["K"], np.float32),
+                    np.asarray(c["R"], np.float32),
+                    np.asarray(c["T"], np.float32).reshape(3),
+                    tmpl.znear, tmpl.zfar)
+                for _k, c in sorted(loaded.items())
+            ]
+            kind = "cubic"
+        else:
+            cams = [v["camera"] for v in self.views]
         path_cams = camera_path_interpolate(cams, n_frames, kind=kind)
         result_dir = os.path.join(self.result_dir, tag)
         vis = Visualizer(result_dir, types=types, save_gt=False,

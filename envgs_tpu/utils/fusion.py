@@ -241,3 +241,28 @@ def visual_hull(
     else:
         keep = votes >= min_votes
     return np.asarray(pts[np.asarray(keep)])
+
+
+def load_mesh_ply(path: str):
+    """ASCII ply triangle mesh reader (save_mesh_ply's format).
+
+    Returns (verts (N, 3) f32, faces (M, 3) i32)."""
+    with open(path, "r") as f:
+        assert f.readline().strip() == "ply", path
+        n_v = n_f = 0
+        while True:
+            line = f.readline().strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_f = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        verts = np.empty((n_v, 3), np.float32)
+        for i in range(n_v):
+            verts[i] = [float(x) for x in f.readline().split()[:3]]
+        faces = np.empty((n_f, 3), np.int32)
+        for i in range(n_f):
+            parts = f.readline().split()
+            faces[i] = [int(x) for x in parts[1:4]]
+    return verts, faces

@@ -1,5 +1,6 @@
 """Camera residuals, moderators, recorder, websocket protocol, losses."""
 import asyncio
+import os
 
 import jax
 import jax.numpy as jnp
@@ -360,3 +361,111 @@ def test_websocket_hello_and_viewer_page():
     np.testing.assert_allclose(hello["T"], [0.0, 1.0, 2.0])
     assert len(hello["K"]) == 9 and len(hello["R"]) == 9
     assert b"envgs_tpu viewer" in page and b"CAM0" in page
+
+
+def test_websocket_overlay_and_camera_path_roundtrip(tmp_path):
+    """Viewer overlay geometry + camera-path save/load over a real socket
+    (the browser counterpart of the imgui viewer's mesh/point overlays and
+    CameraPath editing, volumetric_video_viewer.py:267-375), then the
+    saved path drives runner.render_path(path_dir=...) offline."""
+    import asyncio
+    import json
+
+    import websockets
+
+    from envgs_tpu.serve.websocket_server import RenderServer
+    from envgs_tpu.utils.fusion import save_mesh_ply
+    from envgs_tpu.utils.ply import save_gaussian_ply
+
+    mdl = tmp_path / "model"
+    res = tmp_path / "result"
+    mdl.mkdir(); res.mkdir()
+    P = 32
+    rngl = np.random.default_rng(0)
+    save_gaussian_ply(
+        str(mdl / "base.ply"), rngl.random((P, 3)).astype(np.float32),
+        np.zeros((P, 1, 3), np.float32), np.zeros((P, 0, 3), np.float32),
+        np.zeros((P, 1), np.float32), np.zeros((P, 2), np.float32),
+        np.tile(np.asarray([[1, 0, 0, 0]], np.float32), (P, 1)))
+    save_mesh_ply(str(res / "mesh.ply"),
+                  rngl.random((9, 3)).astype(np.float32),
+                  np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32))
+
+    frame = np.zeros((16, 16, 3), np.float32)
+
+    class FakeRunner:
+        views = [dict(camera=make_camera(
+            16, 16, np.diag([20.0, 20.0, 1.0]), np.eye(3, dtype=np.float32),
+            np.zeros(3, np.float32)))]
+        model_dir = str(mdl)
+        result_dir = str(res)
+
+        def render_view(self, cam, **kw):
+            class Out:
+                rgb_map = jnp.asarray(frame)
+            return Out()
+
+    async def run():
+        server = RenderServer(FakeRunner())
+        async with websockets.serve(server.handle, "127.0.0.1", 0,
+                                    max_size=2 ** 24) as srv:
+            port = srv.sockets[0].getsockname()[1]
+            async with websockets.connect(
+                    f"ws://127.0.0.1:{port}", max_size=2 ** 24) as ws:
+                json.loads(await ws.recv())  # hello
+                # overlays
+                await ws.send(json.dumps({"overlay": "points"}))
+                ov = json.loads(await ws.recv())["overlay"]
+                assert ov["kind"] == "points" and len(ov["verts"]) == P
+                await ws.send(json.dumps({"overlay": "mesh"}))
+                ov = json.loads(await ws.recv())["overlay"]
+                assert ov["kind"] == "mesh" and len(ov["faces"]) == 3
+                await ws.send(json.dumps({"overlay": "off"}))
+                assert json.loads(await ws.recv())["overlay"]["kind"] == "off"
+                # camera-path save + load
+                frames = []
+                for ang in (0.0, 0.5, 1.0):
+                    c, s = np.cos(ang), np.sin(ang)
+                    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                                 np.float32)
+                    frames.append({"R": R.ravel().tolist(),
+                                   "T": [0.0, 0.0, float(ang)]})
+                await ws.send(json.dumps({"save_path": frames}))
+                saved = json.loads(await ws.recv())["saved_path"]
+                assert saved and os.path.exists(
+                    os.path.join(saved, "extri.yml")), saved
+                await ws.send(json.dumps({"load_path": None}))
+                loaded = json.loads(await ws.recv())["loaded_path"]
+                assert len(loaded["frames"]) == 3
+                np.testing.assert_allclose(
+                    np.asarray(loaded["frames"][2]["R"]).reshape(3, 3),
+                    np.asarray(frames[2]["R"]).reshape(3, 3), atol=1e-5)
+                return saved
+
+    saved = asyncio.run(run())
+
+    # the saved path drives offline path rendering (CLI --path-dir)
+    from envgs_tpu.train.runner import Runner
+
+    class PathRunner:
+        views = FakeRunner.views
+        result_dir = str(res)
+
+        def render_view(self, cam, **kw):
+            class Out:
+                rgb_map = jnp.asarray(frame)
+                dpt_map = jnp.ones((16, 16, 1))
+                acc_map = jnp.ones((16, 16, 1))
+                norm_map = jnp.ones((16, 16, 3))
+                surf_norm_map = jnp.ones((16, 16, 3))
+                spec_map = jnp.zeros((16, 16, 1))
+                dif_rgb_map = jnp.asarray(frame)
+                ref_rgb_map = jnp.asarray(frame)
+            return Out()
+
+    r = PathRunner()
+    out_dir = Runner.render_path(r, n_frames=7, tag="filepath",
+                                 types=("RENDER",), path_dir=saved)
+    pngs = [f for f in os.listdir(os.path.join(out_dir, "RENDER"))
+            if f.endswith(".png")]
+    assert len(pngs) == 7
