@@ -5,8 +5,10 @@ TPU-native replacement for the reference's DDP/NCCL data parallelism
 1 image/iteration, so batch-DP is the wrong axis; the natural parallel axis
 is the PIXEL/ray axis (SURVEY §5.7): the image splits into horizontal bands
 of whole 16px tile rows, each device rasterizes + traces its band against
-the replicated Gaussian pools (band cameras are pure intrinsics shifts,
-Camera.crop_rows), and the loss is a pmean. shard_map's transpose then
+the replicated Gaussian pools as a row-CROP of the global camera
+(rasterize(row_window): full-image K everywhere, banding is integer tile
+arithmetic — bit-identical to the matching rows of a full render), and
+the loss is a pmean. shard_map's transpose then
 all-reduces parameter gradients over the band axis automatically — the
 DDP all-reduce without any process-group management, riding ICI.
 

@@ -212,3 +212,40 @@ def test_distortion_moment_cotangents_match_oracle():
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=5e-4,
                                    err_msg=name)
+
+
+@pytest.mark.slow
+def test_row_window_crop_matches_full_render():
+    """rasterize(row_window=(row0, band_h)) reproduces the matching rows
+    of a full render — the band-parallel row-crop contract (prep/binning
+    floats are full-camera values; banding is integer tile arithmetic + a
+    global pixel-row offset in the kernel).
+
+    The ALIGNED (training) layout is BIT-identical: chunk windows start
+    at CHUNK multiples in both runs, so every float sums in the same
+    grouping. The unaligned render fast path rounds each tile's window
+    down to its own start%8, so chunk GROUPING shifts between the two
+    runs and blending reassociates at the 1-ulp level — asserted <=2e-7."""
+    cam = _cam(H=64, W=64)
+    scene = _random_scene(C=3, seed=5)
+    prep = _prep(scene, cam)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    full_a = rasterize(prep, cam, bg, backend="pallas_interp",
+                       pair_cap=2 ** 12, needs=(True, True, True))
+    full_u = rasterize(prep, cam, bg, backend="pallas_interp",
+                       pair_cap=2 ** 12, needs=(True, True, False))
+    for row0 in (0, 16, 48):
+        rw = (jnp.asarray(row0, jnp.int32), 16)
+        sl = slice(row0, row0 + 16)
+        band = rasterize(prep, cam, bg, backend="pallas_interp",
+                         pair_cap=2 ** 12, needs=(True, True, True),
+                         row_window=rw)
+        for name in ("rgb", "alpha", "depth_expected", "normal"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(band, name)),
+                np.asarray(getattr(full_a, name))[sl], err_msg=name)
+        band_u = rasterize(prep, cam, bg, backend="pallas_interp",
+                           pair_cap=2 ** 12, needs=(True, True, False),
+                           row_window=rw)
+        np.testing.assert_allclose(
+            np.asarray(band_u.rgb), np.asarray(full_u.rgb)[sl], atol=2e-7)
