@@ -368,3 +368,122 @@ def test_mipnerf360_converter_roundtrip(tmp_path):
         assert abs(back[k]["n"] - 0.5) < 1e-6
         assert abs(back[k]["f"] - 9.0) < 1e-6
         assert os.path.exists(os.path.join(out, "images", k, "000000.png"))
+
+
+def test_nerfstudio_path_converter(tmp_path):
+    """Nerfstudio camera-path JSON -> easymocap cameras: the OpenGL->OpenCV
+    axis shuffle round-trips (a camera looking down -z in OpenGL at a known
+    position maps to the OpenCV w2c with +z forward at the same center)."""
+    import json as _json
+
+    from scripts.nerfstudio_to_easyvolcap import convert_nerfstudio_path
+
+    from envgs_tpu.utils.easycam import read_cameras
+
+    H, W = 64, 96
+    # identity OpenGL camera at origin + one translated/rotated one
+    c2w0 = np.eye(4)
+    ang = 0.7
+    c2w1 = np.eye(4)
+    c2w1[:3, :3] = np.array([
+        [np.cos(ang), 0, np.sin(ang)],
+        [0, 1, 0],
+        [-np.sin(ang), 0, np.cos(ang)]])
+    c2w1[:3, 3] = [0.5, -0.2, 2.0]
+    jd = {"render_height": H, "render_width": W, "camera_path": [
+        {"fov": 60.0, "camera_to_world": c2w0.ravel().tolist()},
+        {"fov": 60.0, "camera_to_world": c2w1.ravel().tolist()},
+    ]}
+    jp = tmp_path / "path.json"
+    jp.write_text(_json.dumps(jd))
+    out = str(tmp_path / "evc")
+    cams = convert_nerfstudio_path(str(jp), out)
+    back = read_cameras(out)
+    assert sorted(back) == ["000000", "000001"]
+    f = 0.5 * H / np.tan(np.deg2rad(30.0))
+    np.testing.assert_allclose(back["000000"]["K"][0, 0], f, rtol=1e-6)
+    for k in cams:
+        R = back[k]["R"]
+        # valid rotation
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        # camera center round-trips THROUGH THE REFERENCE'S WORLD REMAP:
+        # its opengl2opencv permutes world axes to (y, x, -z)
+        # (nerfstudio_to_easyvolcap.py:9-14), so c_cv = P c_gl
+        c_gl = (c2w0 if k == "000000" else c2w1)[:3, 3]
+        expect = np.array([c_gl[1], c_gl[0], -c_gl[2]])
+        c = -R.T @ back[k]["T"][:, 0]
+        np.testing.assert_allclose(c, expect, atol=1e-6)
+    # OpenGL -z forward becomes OpenCV +z forward: in the remapped world
+    # the identity camera looks along +z' (= -z_gl); row 2 of R is the
+    # OpenCV viewing direction
+    fwd = back["000000"]["R"][2]
+    np.testing.assert_allclose(fwd, [0, 0, 1.0], atol=1e-6)
+
+
+def test_dtu_converter_roundtrip(tmp_path):
+    """DTU (MVSNet layout) ingest: cam.txt parsing with the reference's
+    scale-200 translation + x4 intrinsics, PFM depth read (bottom-up
+    order), half-resize + 44/80 crop, masks from depth>0."""
+    from PIL import Image
+
+    from scripts.dtu_to_easyvolcap import convert_dtu_scan, read_pfm
+
+    from envgs_tpu.utils.easycam import read_cameras
+
+    root = tmp_path / "dtu"
+    (root / "Cameras" / "train").mkdir(parents=True)
+    (root / "Rectified" / "scan1_train").mkdir(parents=True)
+    (root / "Depths_raw" / "scan1").mkdir(parents=True)
+    H, W = 512, 640  # full image; depth pfm at the same size
+    # (the crop constants 44/80 need at least the DTU aspect; smaller
+    # frames would crop to empty)
+    n = 3
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, 3] = [i * 10.0, 0.0, 400.0]
+        ixt = np.array([[100, 0, W / 8], [0, 100, H / 8], [0, 0, 1]],
+                       np.float32)
+        with open(root / "Cameras" / "train" / f"{i:08d}_cam.txt", "w") as f:
+            f.write("extrinsic\n")
+            for r in ext:
+                f.write(" ".join(str(x) for x in r) + "\n")
+            f.write("\nintrinsic\n")
+            for r in ixt:
+                f.write(" ".join(str(x) for x in r) + "\n")
+            f.write("\n425.0 2.5\n")
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(
+            root / "Rectified" / "scan1_train" / f"rect_{i+1:03d}_3_r5000.png")
+        # PF depth: bottom half zero (background), top half 500
+        dpt = np.zeros((H, W), np.float32)
+        dpt[: H // 2] = 500.0
+        with open(root / "Depths_raw" / "scan1" /
+                  f"depth_map_{i:04d}.pfm", "wb") as f:
+            f.write(b"Pf\n")
+            f.write(f"{W} {H}\n".encode())
+            f.write(b"-1.0\n")
+            f.write(np.flipud(dpt).astype("<f4").tobytes())
+        if i == 0:
+            back = read_pfm(str(root / "Depths_raw" / "scan1" /
+                                "depth_map_0000.pfm"))
+            np.testing.assert_allclose(back, dpt)
+
+    out = str(tmp_path / "evc")
+    n_out = convert_dtu_scan(str(root), "scan1", out, scale=200.0)
+    assert n_out == n
+    cams = read_cameras(os.path.join(out, "scan1", "cameras", "00"))
+    assert len(cams) == n
+    np.testing.assert_allclose(cams["000001"]["T"][:, 0],
+                               [10.0 / 200, 0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(cams["000000"]["K"][0, 0], 400.0, atol=1e-5)
+    dpt = np.load(os.path.join(out, "scan1", "depths", "00", "000000.npy"))
+    assert dpt.shape == (H // 2 - 88, W // 2 - 160)
+    # top rows carry 500/200, bottom zero
+    np.testing.assert_allclose(dpt[0, 0], 2.5, atol=1e-5)
+    assert dpt[-1, -1] == 0.0
+    msk = np.asarray(Image.open(
+        os.path.join(out, "scan1", "masks", "00", "000000.jpg")))
+    assert msk[0, 0] > 200 and msk[-1, -1] < 50
+    assert os.path.exists(
+        os.path.join(out, "scan1", "images", "00", "000000.jpg"))
